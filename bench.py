@@ -1,0 +1,196 @@
+"""Benchmark harness: NUTS ESS/sec/chip at many chains on the 100-dim
+hierarchical posterior (the BASELINE.json north-star config).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+``vs_baseline`` compares against *vmapped stock BlackJAX* (imported from
+/root/reference) run with the identical configuration on the same device;
+the baseline measurement is cached per device kind in
+``.bench_baseline_cache.json`` so repeated runs don't pay for it twice.
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE_PATH = os.path.join(REPO, ".bench_baseline_cache.json")
+
+# benchmark configuration (scaled down automatically on CPU)
+DIM = 100
+ON_TPU = jax.devices()[0].platform != "cpu"
+NUM_CHAINS = 4096 if ON_TPU else 64
+NUM_STEPS = 256 if ON_TPU else 32
+WARMUP_STEPS = 400
+STEP_SIZE_FALLBACK = 0.25
+TRACKED_DIMS = 8  # ESS measured on the first k coordinates
+MAX_DOUBLINGS = 8
+
+
+def hierarchical_logdensity(x):
+    log_tau = x[..., 0]
+    theta = x[..., 1:]
+    lp_tau = -0.5 * log_tau**2
+    lp_theta = -0.5 * jnp.sum(theta**2, axis=-1) * jnp.exp(-log_tau) - 0.5 * (
+        DIM - 1
+    ) * log_tau
+    return lp_tau + lp_theta
+
+
+def _measure(step_fn, init_states, rng_key, num_chains, num_steps):
+    """Scan `num_steps` vmapped kernel applications; return
+    (elapsed_seconds, positions (steps, chains, k), total_grad_evals)."""
+
+    @jax.jit
+    def run(key, states):
+        def one(states, key):
+            keys = jax.random.split(key, num_chains)
+            states, infos = step_fn(keys, states)
+            return states, (states.position[:, :TRACKED_DIMS], infos_steps(infos))
+
+        keys = jax.random.split(key, num_steps)
+        final, (hist, nsteps) = jax.lax.scan(one, states, keys)
+        return final, hist, nsteps
+
+    def infos_steps(infos):
+        return jnp.sum(infos.num_integration_steps)
+
+    # compile
+    final, hist, nsteps = run(rng_key, init_states)
+    jax.block_until_ready(hist)
+    t0 = time.perf_counter()
+    final, hist, nsteps = run(rng_key, init_states)
+    jax.block_until_ready(hist)
+    elapsed = time.perf_counter() - t0
+    return elapsed, np.asarray(hist), int(np.sum(np.asarray(nsteps)))
+
+
+def _ess_per_dim(hist):
+    """hist: (steps, chains, k) -> min ESS over the k tracked dims."""
+    from blackjax_tpu.diagnostics import effective_sample_size
+
+    x = jnp.asarray(hist).transpose(1, 0, 2)  # (chains, steps, k)
+    ess = effective_sample_size(x)
+    return float(np.min(np.asarray(ess)))
+
+
+def _warmup_params(rng_key):
+    """Cheap single-chain window adaptation to get (step_size, imm)."""
+    import blackjax_tpu
+    from blackjax_tpu.adaptation.window_adaptation import window_adaptation
+    from blackjax_tpu.mcmc import nuts as nuts_mod
+
+    warmup = window_adaptation(
+        nuts_mod, hierarchical_logdensity, max_num_doublings=MAX_DOUBLINGS
+    )
+    try:
+        results, _ = warmup.run(rng_key, jnp.zeros(DIM), WARMUP_STEPS)
+        step_size = float(results.parameters["step_size"])
+        imm = results.parameters["inverse_mass_matrix"]
+        if not np.isfinite(step_size) or step_size <= 0:
+            raise ValueError("non-finite step size")
+        return step_size, imm
+    except Exception as exc:  # pragma: no cover - robustness for the driver
+        print(f"warmup failed ({exc}); falling back", file=sys.stderr)
+        return STEP_SIZE_FALLBACK, jnp.ones(DIM)
+
+
+def bench_ours(rng_key, step_size, imm):
+    import blackjax_tpu
+
+    algo = blackjax_tpu.nuts(
+        hierarchical_logdensity,
+        step_size=step_size,
+        inverse_mass_matrix=imm,
+        max_num_doublings=MAX_DOUBLINGS,
+    )
+    init_keys = jax.random.split(rng_key, NUM_CHAINS)
+    positions = 0.5 * jax.vmap(lambda k: jax.random.normal(k, (DIM,)))(init_keys)
+    states = jax.vmap(algo.init)(positions)
+    step_fn = jax.vmap(algo.step)
+    return _measure(step_fn, states, rng_key, NUM_CHAINS, NUM_STEPS)
+
+
+def bench_reference(rng_key, step_size, imm):
+    sys.path.insert(0, "/root/reference")
+    import blackjax  # noqa: E501 — stock reference library, vmapped
+
+    algo = blackjax.nuts(
+        hierarchical_logdensity,
+        step_size=step_size,
+        inverse_mass_matrix=jnp.asarray(imm),
+        max_num_doublings=MAX_DOUBLINGS,
+    )
+    init_keys = jax.random.split(rng_key, NUM_CHAINS)
+    positions = 0.5 * jax.vmap(lambda k: jax.random.normal(k, (DIM,)))(init_keys)
+    states = jax.vmap(algo.init)(positions)
+    step_fn = jax.vmap(algo.step)
+    return _measure(step_fn, states, rng_key, NUM_CHAINS, NUM_STEPS)
+
+
+def main():
+    device = jax.devices()[0]
+    cfg_key = f"{device.device_kind}|c{NUM_CHAINS}|s{NUM_STEPS}|d{DIM}|v3"
+    rng_key = jax.random.key(2026)
+    warm_key, run_key = jax.random.split(rng_key)
+
+    step_size, imm = _warmup_params(warm_key)
+
+    elapsed, hist, grad_evals = bench_ours(run_key, step_size, imm)
+    ess = _ess_per_dim(hist)
+    ours_ess_per_sec = ess / elapsed
+    grad_evals_per_sec = grad_evals / elapsed
+
+    # --- baseline: vmapped stock BlackJAX, cached per device/config -------
+    baseline = None
+    cache = {}
+    if os.path.exists(CACHE_PATH):
+        try:
+            cache = json.load(open(CACHE_PATH))
+        except Exception:
+            cache = {}
+    if cfg_key in cache:
+        baseline = cache[cfg_key]
+    else:
+        try:
+            b_elapsed, b_hist, b_grads = bench_reference(run_key, step_size, imm)
+            baseline = {
+                "ess_per_sec": _ess_per_dim(b_hist) / b_elapsed,
+                "grad_evals_per_sec": b_grads / b_elapsed,
+                "elapsed": b_elapsed,
+            }
+            cache[cfg_key] = baseline
+            json.dump(cache, open(CACHE_PATH, "w"))
+        except Exception as exc:  # pragma: no cover
+            print(f"reference baseline failed: {exc}", file=sys.stderr)
+
+    vs_baseline = (
+        ours_ess_per_sec / baseline["ess_per_sec"] if baseline else float("nan")
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"NUTS min-ESS/sec/chip ({DIM}-dim hierarchical, {NUM_CHAINS} chains)",
+                "value": round(ours_ess_per_sec, 3),
+                "unit": "ESS/sec",
+                "vs_baseline": round(vs_baseline, 3) if baseline else None,
+                "grad_evals_per_sec": round(grad_evals_per_sec, 1),
+                "min_ess": round(ess, 1),
+                "elapsed_sec": round(elapsed, 3),
+                "step_size": round(step_size, 5),
+                "device": str(device.device_kind),
+                "baseline_ess_per_sec": (
+                    round(baseline["ess_per_sec"], 3) if baseline else None
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,269 @@
+"""The staged warmup engine: Stan's three-phase schedule driven entirely
+inside one ``lax.scan`` with branch-free window dispatch.
+
+Behavioral parity target: ``blackjax/adaptation/staged_adaptation.py``
+(state :69, engine :111, schedule :315, entry point :519, multi-chain path
+:875-962).
+
+TPU-first notes:
+- the whole warmup is ONE jitted scan; the schedule is a precomputed
+  ``(num_steps, 2)`` int array consumed as scan xs, window dispatch is a
+  ``lax.switch`` + ``lax.cond`` — no host round-trips mid-warmup;
+- the multi-chain shared-ε path vmaps the kernel over an ``(M, ...)`` chain
+  block and performs ONE dual-averaging update per step on the mean
+  acceptance rate (M probes of the same ε are one observation, not M), and
+  feeds ``(M, d)`` position blocks to the metric core in one batched call.
+"""
+from typing import Any, Callable, NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from blackjax_tpu.adaptation.base import AdaptationResults, return_all_adapt_info
+from blackjax_tpu.adaptation.metric_recipes import MetricCore, MetricRecipe, lookup_recipe
+from blackjax_tpu.adaptation.step_size import (
+    DualAveragingAdaptationState,
+    dual_averaging_adaptation,
+)
+from blackjax_tpu.base import AdaptationAlgorithm
+from blackjax_tpu.types import Array, ArrayLikeTree, PRNGKey
+from blackjax_tpu.util import pytree_size
+
+__all__ = ["StagedAdaptationState", "build_schedule", "staged_adaptation"]
+
+
+class StagedAdaptationState(NamedTuple):
+    ss_state: DualAveragingAdaptationState
+    imm_state: Any
+    step_size: float
+    inverse_mass_matrix: Array
+
+
+def _make_engine(
+    metric_core: MetricCore,
+    *,
+    target_acceptance_rate: float,
+    pool_acceptance: bool = False,
+) -> tuple[Callable, Callable, Callable]:
+    """Build ``(init, update, final)`` for the warmup host state. Step-size
+    DA lives here; mass-matrix work is delegated to ``metric_core``."""
+    da_init, da_update, da_final = dual_averaging_adaptation(target_acceptance_rate)
+
+    def _da_step(ss_state, acceptance_rate):
+        if pool_acceptance:
+            return da_update(ss_state, jnp.mean(acceptance_rate))
+        return da_update(ss_state, acceptance_rate)
+
+    def init(position: ArrayLikeTree, initial_step_size: float) -> StagedAdaptationState:
+        imm_state = metric_core.init(pytree_size(position))
+        return StagedAdaptationState(
+            da_init(initial_step_size),
+            imm_state,
+            initial_step_size,
+            imm_state.inverse_mass_matrix,
+        )
+
+    def fast_update(position, grad, acceptance_rate, ws: StagedAdaptationState):
+        del position, grad
+        new_ss = _da_step(ws.ss_state, acceptance_rate)
+        return StagedAdaptationState(
+            new_ss, ws.imm_state, jnp.exp(new_ss.log_step_size), ws.inverse_mass_matrix
+        )
+
+    def slow_update(position, grad, acceptance_rate, ws: StagedAdaptationState):
+        new_imm_state = metric_core.update(ws.imm_state, position, grad)
+        new_ss = _da_step(ws.ss_state, acceptance_rate)
+        return StagedAdaptationState(
+            new_ss,
+            new_imm_state,
+            jnp.exp(new_ss.log_step_size),
+            new_imm_state.inverse_mass_matrix,
+        )
+
+    def slow_final(ws: StagedAdaptationState) -> StagedAdaptationState:
+        """Slow-window end: fold the window into a new IMM, restart DA from
+        the current averaged step size."""
+        new_imm_state = metric_core.final(ws.imm_state)
+        new_ss = da_init(da_final(ws.ss_state))
+        return StagedAdaptationState(
+            new_ss,
+            new_imm_state,
+            jnp.exp(new_ss.log_step_size),
+            new_imm_state.inverse_mass_matrix,
+        )
+
+    def update(
+        adaptation_state: StagedAdaptationState,
+        adaptation_stage,
+        position,
+        grad,
+        acceptance_rate,
+    ) -> StagedAdaptationState:
+        stage, is_middle_window_end = adaptation_stage
+        ws = jax.lax.switch(
+            stage, (fast_update, slow_update), position, grad, acceptance_rate, adaptation_state
+        )
+        return jax.lax.cond(is_middle_window_end, slow_final, lambda x: x, ws)
+
+    def final(ws: StagedAdaptationState):
+        return jnp.exp(ws.ss_state.log_step_size_avg), ws.imm_state.inverse_mass_matrix
+
+    return init, update, final
+
+
+def build_schedule(
+    num_steps: int,
+    initial_buffer_size: int = 75,
+    final_buffer_size: int = 50,
+    first_window_size: int = 25,
+) -> Array:
+    """Stan's warmup schedule as a ``(num_steps, 2)`` int array of
+    ``(stage_label, is_middle_window_end)``: a fast step-size buffer, then
+    doubling slow (covariance) windows, then a final fast buffer. Window
+    sizes shrink proportionally when ``num_steps`` is small; below 20 steps
+    everything is fast (no mass-matrix adaptation)."""
+    schedule = []
+    if num_steps < 20:
+        schedule = [(0, False)] * num_steps
+    else:
+        if initial_buffer_size + first_window_size + final_buffer_size > num_steps:
+            initial_buffer_size = int(0.15 * num_steps)
+            final_buffer_size = int(0.1 * num_steps)
+            first_window_size = num_steps - initial_buffer_size - final_buffer_size
+
+        schedule += [(0, False)] * initial_buffer_size
+
+        final_buffer_start = num_steps - final_buffer_size
+        window_start, window_size = initial_buffer_size, first_window_size
+        while window_start < final_buffer_start:
+            size = window_size
+            # last window absorbs the remainder rather than leaving a stub
+            if 3 * size > final_buffer_start - window_start:
+                size = final_buffer_start - window_start
+            else:
+                window_size = 2 * size
+            schedule += [(1, False)] * (size - 1) + [(1, True)]
+            window_start += size
+
+        schedule += [(0, False)] * final_buffer_size
+
+    return jnp.array(schedule)
+
+
+def _resolve_metric(metric, metric_options) -> MetricCore:
+    if isinstance(metric, MetricCore):
+        return metric
+    if isinstance(metric, MetricRecipe):
+        return metric.build_core(**metric_options)
+    if isinstance(metric, str):
+        return lookup_recipe(metric).build_core(**metric_options)
+    raise ValueError(
+        f"metric must be a recipe name, MetricRecipe or MetricCore; got {metric!r}"
+    )
+
+
+def staged_adaptation(
+    algorithm,
+    logdensity_fn: Callable,
+    *,
+    metric: Union[str, MetricRecipe, MetricCore] = "welford_diag",
+    metric_options: Optional[dict] = None,
+    schedule_fn: Callable = build_schedule,
+    initial_step_size: float = 1.0,
+    target_acceptance_rate: float = 0.80,
+    initial_metric_state=None,
+    adaptation_info_fn: Callable = return_all_adapt_info,
+    n_chains: int = 1,
+    **extra_parameters,
+) -> AdaptationAlgorithm:
+    """Run the staged warmup for any HMC-family ``algorithm`` (a module-like
+    object with ``init`` and ``build_kernel``).
+
+    When ``n_chains > 1``, ``run`` expects ``position`` with a leading
+    ``(n_chains, ...)`` axis; chains run vmapped at one shared step size with
+    pooled acceptance and a metric estimated from the whole ensemble block.
+    """
+    metric_core = _resolve_metric(metric, metric_options or {})
+    mcmc_kernel = algorithm.build_kernel()
+    multi_chain = n_chains > 1
+
+    adapt_init, adapt_step, adapt_final = _make_engine(
+        metric_core,
+        target_acceptance_rate=target_acceptance_rate,
+        pool_acceptance=multi_chain,
+    )
+
+    if initial_metric_state is not None:
+        _base_init = adapt_init
+
+        def adapt_init(position, step_size):  # noqa: F811
+            state = _base_init(position, step_size)
+            return state._replace(
+                imm_state=initial_metric_state,
+                inverse_mass_matrix=initial_metric_state.inverse_mass_matrix,
+            )
+
+    def one_step(carry, xs):
+        _, rng_key, adaptation_stage = xs
+        state, adaptation_state = carry
+
+        if multi_chain:
+            keys = jax.random.split(rng_key, n_chains)
+            new_state, info = jax.vmap(
+                lambda k, s: mcmc_kernel(
+                    k,
+                    s,
+                    logdensity_fn,
+                    adaptation_state.step_size,
+                    adaptation_state.inverse_mass_matrix,
+                    **extra_parameters,
+                )
+            )(keys, state)
+        else:
+            new_state, info = mcmc_kernel(
+                rng_key,
+                state,
+                logdensity_fn,
+                adaptation_state.step_size,
+                adaptation_state.inverse_mass_matrix,
+                **extra_parameters,
+            )
+
+        new_adaptation_state = adapt_step(
+            adaptation_state,
+            adaptation_stage,
+            new_state.position,
+            new_state.logdensity_grad,
+            info.acceptance_rate,
+        )
+        return (
+            (new_state, new_adaptation_state),
+            adaptation_info_fn(new_state, info, new_adaptation_state),
+        )
+
+    def run(rng_key: PRNGKey, position: ArrayLikeTree, num_steps: int = 1000):
+        if multi_chain:
+            init_state = jax.vmap(lambda p: algorithm.init(p, logdensity_fn))(position)
+            one_chain_position = jax.tree.map(lambda x: x[0], position)
+            init_adaptation_state = adapt_init(one_chain_position, initial_step_size)
+        else:
+            init_state = algorithm.init(position, logdensity_fn)
+            init_adaptation_state = adapt_init(position, initial_step_size)
+
+        keys = jax.random.split(rng_key, num_steps)
+        schedule = schedule_fn(num_steps)
+        (last_state, last_adaptation_state), info = jax.lax.scan(
+            one_step,
+            (init_state, init_adaptation_state),
+            (jnp.arange(num_steps), keys, schedule),
+        )
+
+        step_size, inverse_mass_matrix = adapt_final(last_adaptation_state)
+        parameters = {
+            "step_size": step_size,
+            "inverse_mass_matrix": inverse_mass_matrix,
+            **extra_parameters,
+        }
+        return AdaptationResults(last_state, parameters), info
+
+    return AdaptationAlgorithm(run)

@@ -1,0 +1,591 @@
+"""Trajectory construction for Hamiltonian samplers.
+
+Behavioral parity target: ``blackjax/mcmc/trajectory.py`` (reference; static
+integration :136, static progressive :170, dynamic progressive :242, dynamic
+multiplicative expansion :580, ``hmc_energy`` :730).
+
+Two NUTS engines live here:
+
+- :func:`dynamic_progressive_integration` + :func:`dynamic_multiplicative_expansion`
+  replicate the reference's nested ``while_loop`` structure. They are the
+  semantic specification and the parity/validation path.
+- :func:`flattened_nuts` is the TPU-native engine used by
+  ``blackjax_tpu.mcmc.nuts`` by default: ONE bounded ``while_loop`` over
+  leapfrog slots with branch-free (select-based) bookkeeping for subtree
+  boundaries, progressive sampling, checkpointed U-turn tests and the
+  doubling merge. Under ``vmap`` over thousands of chains every lane advances
+  in lockstep — dead lanes are masked instead of diverging in control flow —
+  which is the layout the TPU vector units and XLA's loop fusion want.
+
+Both engines draw per-subtree keys as ``fold_in(rng_key, depth)`` split into
+(direction, trajectory, proposal) keys and per-leaf keys as
+``fold_in(trajectory_key, leaf)``, so they are statistically identical.
+"""
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from blackjax_tpu.mcmc.integrators import IntegratorState
+from blackjax_tpu.mcmc.proposal import (
+    Proposal,
+    progressive_biased_sampling,
+    progressive_uniform_sampling,
+    proposal_generator,
+    tree_select,
+)
+from blackjax_tpu.mcmc.termination import IterativeUTurnState, _checkpoint_slots
+from blackjax_tpu.types import PRNGKey
+
+__all__ = [
+    "Trajectory",
+    "append_to_trajectory",
+    "reorder_trajectories",
+    "merge_trajectories",
+    "static_integration",
+    "static_progressive_integration",
+    "dynamic_progressive_integration",
+    "dynamic_multiplicative_expansion",
+    "dynamic_recursive_integration",
+    "flattened_nuts",
+    "hmc_energy",
+]
+
+
+class Trajectory(NamedTuple):
+    leftmost_state: IntegratorState
+    rightmost_state: IntegratorState
+    momentum_sum: jnp.ndarray  # pytree matching momentum
+    num_states: int
+
+
+def append_to_trajectory(trajectory: Trajectory, state: IntegratorState) -> Trajectory:
+    """Extend the trajectory to the right by one state."""
+    momentum_sum = jax.tree.map(jnp.add, trajectory.momentum_sum, state.momentum)
+    return Trajectory(
+        trajectory.leftmost_state, state, momentum_sum, trajectory.num_states + 1
+    )
+
+
+def reorder_trajectories(direction, trajectory: Trajectory, new_trajectory: Trajectory):
+    """Order (existing, new) as (left, right) according to the integration
+    direction — select-based, vmap-friendly."""
+    forward = direction > 0
+    left = tree_select(forward, trajectory, new_trajectory)
+    right = tree_select(forward, new_trajectory, trajectory)
+    return left, right
+
+
+def merge_trajectories(left: Trajectory, right: Trajectory) -> Trajectory:
+    momentum_sum = jax.tree.map(jnp.add, left.momentum_sum, right.momentum_sum)
+    return Trajectory(
+        left.leftmost_state,
+        right.rightmost_state,
+        momentum_sum,
+        left.num_states + right.num_states,
+    )
+
+
+def hmc_energy(kinetic_energy):
+    """Total energy ``-logdensity + K(momentum; position)``."""
+
+    def energy(state):
+        return -state.logdensity + kinetic_energy(
+            state.momentum, position=state.position
+        )
+
+    return energy
+
+
+# ------------------------------------------------------------------------
+# Static trajectories
+# ------------------------------------------------------------------------
+
+
+def static_integration(integrator: Callable, direction: int = 1) -> Callable:
+    """``integrate(state, step_size, num_integration_steps)``: apply the
+    integrator a fixed number of times in one direction."""
+
+    def integrate(initial_state, step_size, num_integration_steps):
+        directed = jax.tree.map(lambda s: direction * s, step_size)
+        return jax.lax.fori_loop(
+            0,
+            num_integration_steps,
+            lambda _, state: integrator(state, directed),
+            initial_state,
+        )
+
+    return integrate
+
+
+def static_progressive_integration(
+    integrator: Callable,
+    kinetic_energy: Callable,
+    num_integration_steps: int,
+    divergence_threshold: float,
+) -> Callable:
+    """Integrate a fixed-length trajectory while reservoir-sampling one state
+    proportional to ``exp(-H)`` — O(1) memory multinomial HMC."""
+    energy_fn = hmc_energy(kinetic_energy)
+    _, generate_proposal = proposal_generator(energy_fn)
+
+    def integrate(rng_key: PRNGKey, initial_state: IntegratorState, step_size):
+        initial_energy = energy_fn(initial_state)
+        init_proposal = Proposal(initial_state, initial_energy, 0.0, -jnp.inf)
+
+        def one_step(i, carry):
+            state, held_proposal, any_divergent = carry
+            new_state = integrator(state, step_size)
+            new_proposal = generate_proposal(initial_energy, new_state)
+            any_divergent = any_divergent | (-new_proposal.weight > divergence_threshold)
+            held_proposal = progressive_uniform_sampling(
+                jax.random.fold_in(rng_key, i), held_proposal, new_proposal
+            )
+            return new_state, held_proposal, any_divergent
+
+        _, final_proposal, is_diverging = jax.lax.fori_loop(
+            0, num_integration_steps, one_step, (initial_state, init_proposal, False)
+        )
+        return final_proposal, is_diverging
+
+    return integrate
+
+
+# ------------------------------------------------------------------------
+# Dynamic (NUTS) trajectories — reference-structured nested-loop engine
+# ------------------------------------------------------------------------
+
+
+class DynamicIntegrationState(NamedTuple):
+    step: int
+    proposal: Proposal
+    trajectory: Trajectory
+    termination_state: NamedTuple
+
+
+class DynamicExpansionState(NamedTuple):
+    step: int
+    proposal: Proposal
+    trajectory: Trajectory
+    termination_state: NamedTuple
+
+
+def dynamic_progressive_integration(
+    integrator: Callable,
+    kinetic_energy: Callable,
+    update_termination_state: Callable,
+    is_criterion_met: Callable,
+    divergence_threshold: float,
+):
+    """Integrate in one direction, progressively sampling a proposal, until
+    the (subtree) termination criterion fires or ``max_num_steps`` is reached
+    (reference ``trajectory.py:242``)."""
+    energy_fn = hmc_energy(kinetic_energy)
+    _, generate_proposal = proposal_generator(energy_fn)
+
+    def integrate(
+        rng_key: PRNGKey,
+        initial_state: IntegratorState,
+        direction,
+        termination_state,
+        max_num_steps,
+        step_size,
+        initial_energy,
+    ):
+        def keep_going(loop_state):
+            integration_state, (is_diverging, has_terminated) = loop_state
+            return (
+                (integration_state.step < max_num_steps)
+                & ~has_terminated
+                & ~is_diverging
+            )
+
+        def add_one_state(loop_state):
+            integration_state, _ = loop_state
+            step, held, traj, term = integration_state
+            leaf_key = jax.random.fold_in(rng_key, step)
+
+            new_state = integrator(traj.rightmost_state, direction * step_size)
+            new_proposal = generate_proposal(initial_energy, new_state)
+            is_diverging = -new_proposal.weight > divergence_threshold
+
+            is_first = step == 0
+            fresh_traj = Trajectory(new_state, new_state, new_state.momentum, 1)
+            appended = append_to_trajectory(traj, new_state)
+            new_traj = tree_select(is_first, fresh_traj, appended)
+            sampled = tree_select(
+                is_first,
+                new_proposal,
+                progressive_uniform_sampling(leaf_key, held, new_proposal),
+            )
+
+            term = update_termination_state(term, new_traj.momentum_sum, new_state.momentum, step)
+            has_terminated = is_criterion_met(term, new_traj.momentum_sum, new_state.momentum)
+
+            return (
+                DynamicIntegrationState(step + 1, sampled, new_traj, term),
+                (is_diverging, has_terminated),
+            )
+
+        placeholder_proposal = generate_proposal(initial_energy, initial_state)
+        placeholder_traj = Trajectory(initial_state, initial_state, initial_state.momentum, 0)
+        init_loop_state = (
+            DynamicIntegrationState(0, placeholder_proposal, placeholder_traj, termination_state),
+            (False, False),
+        )
+        final, (is_diverging, has_terminated) = jax.lax.while_loop(
+            keep_going, add_one_state, init_loop_state
+        )
+        _, proposal, traj, termination_state = final
+
+        # the loop always extends "rightwards"; flip end states when we
+        # actually integrated backwards in time
+        flipped = Trajectory(
+            traj.rightmost_state, traj.leftmost_state, traj.momentum_sum, traj.num_states
+        )
+        new_trajectory = tree_select(direction > 0, traj, flipped)
+        return proposal, new_trajectory, termination_state, is_diverging, has_terminated
+
+    return integrate
+
+
+def dynamic_multiplicative_expansion(
+    trajectory_integrator: Callable,
+    uturn_check_fn: Callable,
+    max_num_expansions: int = 10,
+    rate: int = 2,
+) -> Callable:
+    """NUTS outer loop: repeatedly double the trajectory in a random
+    direction, biased-merge the new subtree's proposal, and stop on
+    divergence or (sub)trajectory U-turn (reference ``trajectory.py:580``)."""
+
+    def expand(
+        rng_key: PRNGKey,
+        initial_expansion_state: DynamicExpansionState,
+        initial_energy,
+        step_size,
+    ):
+        def keep_expanding(loop_state):
+            expansion_state, (is_diverging, is_turning) = loop_state
+            return (
+                (expansion_state.step < max_num_expansions)
+                & ~is_diverging
+                & ~is_turning
+            )
+
+        def expand_once(loop_state):
+            expansion_state, _ = loop_state
+            step, proposal, trajectory, termination_state = expansion_state
+
+            subkey = jax.random.fold_in(rng_key, step)
+            direction_key, trajectory_key, proposal_key = jax.random.split(subkey, 3)
+
+            direction = jnp.where(jax.random.bernoulli(direction_key), 1, -1)
+            start_state = tree_select(
+                direction > 0, trajectory.rightmost_state, trajectory.leftmost_state
+            )
+            (
+                new_proposal,
+                new_trajectory,
+                termination_state,
+                is_diverging,
+                is_turning_subtree,
+            ) = trajectory_integrator(
+                trajectory_key,
+                start_state,
+                direction,
+                termination_state,
+                rate**step,
+                step_size,
+                initial_energy,
+            )
+
+            # a diverging/turning subtree cannot contribute its proposal, but
+            # its acceptance statistics still count toward the trajectory sum
+            rejected_subtree = is_diverging | is_turning_subtree
+            merged_slpa_only = Proposal(
+                proposal.state,
+                proposal.energy,
+                proposal.weight,
+                jnp.logaddexp(proposal.sum_log_p_accept, new_proposal.sum_log_p_accept),
+            )
+            sampled = progressive_biased_sampling(proposal_key, proposal, new_proposal)
+            updated_proposal = tree_select(rejected_subtree, merged_slpa_only, sampled)
+
+            left, right = reorder_trajectories(direction, trajectory, new_trajectory)
+            merged = merge_trajectories(left, right)
+            is_turning = uturn_check_fn(
+                merged.leftmost_state.momentum,
+                merged.rightmost_state.momentum,
+                merged.momentum_sum,
+            )
+
+            new_state = DynamicExpansionState(
+                step + 1, updated_proposal, merged, termination_state
+            )
+            return new_state, (is_diverging, is_turning_subtree | is_turning)
+
+        return jax.lax.while_loop(
+            keep_expanding, expand_once, (initial_expansion_state, (False, False))
+        )
+
+    return expand
+
+
+def dynamic_recursive_integration(
+    integrator: Callable,
+    kinetic_energy: Callable,
+    uturn_check_fn: Callable,
+    divergence_threshold: float,
+):
+    """Textbook recursive NUTS tree building with multinomial sampling
+    (Hoffman & Gelman Algorithm 6 shape). Python recursion — NOT jittable;
+    exists purely as the validation oracle for the iterative engines
+    (reference ``trajectory.py:398``)."""
+    energy_fn = hmc_energy(kinetic_energy)
+    _, generate_proposal = proposal_generator(energy_fn)
+
+    def buildtree(rng_key, state, direction, depth, step_size, initial_energy):
+        """Returns (left, right, momentum_sum_flat, proposal, diverging, turning)."""
+        if depth == 0:
+            new_state = integrator(state, direction * step_size)
+            new_proposal = generate_proposal(initial_energy, new_state)
+            is_diverging = -new_proposal.weight > divergence_threshold
+            m, _ = ravel_pytree(new_state.momentum)
+            return new_state, new_state, m, new_proposal, is_diverging, False
+
+        key_first, key_second, key_choice = jax.random.split(rng_key, 3)
+        left, right, msum, prop, diverging, turning = buildtree(
+            key_first, state, direction, depth - 1, step_size, initial_energy
+        )
+        if diverging or turning:
+            return left, right, msum, prop, diverging, turning
+        start = right if direction > 0 else left
+        left2, right2, msum2, prop2, diverging2, turning2 = buildtree(
+            key_second, start, direction, depth - 1, step_size, initial_energy
+        )
+        if direction > 0:
+            left_all, right_all = left, right2
+        else:
+            left_all, right_all = left2, right
+        total_sum = msum + msum2
+        merged = progressive_uniform_sampling(key_choice, prop, prop2)
+        turning_all = bool(
+            uturn_check_fn(left_all.momentum, right_all.momentum, total_sum)
+        )
+        return left_all, right_all, total_sum, merged, diverging2, turning2 | turning_all
+
+    return buildtree
+
+
+# ------------------------------------------------------------------------
+# Flattened lockstep NUTS — the TPU-native engine
+# ------------------------------------------------------------------------
+
+
+class _FlatNUTSState(NamedTuple):
+    """Per-chain registers of the flattened NUTS loop (all select-updated)."""
+
+    # moving integration end + full-trajectory ends
+    current: IntegratorState
+    left: IntegratorState
+    right: IntegratorState
+    momentum_sum: jnp.ndarray  # (d,) flat, includes initial momentum
+    proposal: Proposal
+    num_states: jnp.ndarray  # total leapfrog steps recorded
+    # subtree registers
+    direction: jnp.ndarray  # +-1.0
+    depth: jnp.ndarray  # current doubling index j
+    leaf: jnp.ndarray  # leaf index s within current subtree
+    sub_momentum_sum: jnp.ndarray  # (d,)
+    sub_proposal: Proposal
+    ckpt_momentum: jnp.ndarray  # (max_depth, d)
+    ckpt_momentum_sum: jnp.ndarray  # (max_depth, d)
+    # flags
+    is_diverging: jnp.ndarray
+    is_turning: jnp.ndarray
+    done: jnp.ndarray
+
+
+def flattened_nuts(
+    integrator: Callable,
+    kinetic_energy: Callable,
+    uturn_check_fn: Callable,
+    max_num_expansions: int = 10,
+    divergence_threshold: float = 1000.0,
+) -> Callable:
+    """Build the flattened single-loop NUTS proposal engine.
+
+    Semantics match :func:`dynamic_multiplicative_expansion` ∘
+    :func:`dynamic_progressive_integration` exactly (same per-subtree /
+    per-leaf key derivation, same progressive samplers, same checkpointing
+    U-turn tests, same merge rules) but the nested while loops are fused into
+    ONE ``while_loop`` taking exactly one leapfrog step per iteration with
+    branch-free bookkeeping. Under ``vmap`` every chain advances in lockstep;
+    per-chain termination only flips a mask.
+
+    Returns ``propose(rng_key, initial_state, step_size) -> (state, info_tuple)``
+    where ``info_tuple = (proposal, left, right, momentum_sum, num_states,
+    depth_reached, is_diverging, is_turning)``.
+    """
+    energy_fn = hmc_energy(kinetic_energy)
+    _, generate_proposal = proposal_generator(energy_fn)
+
+    def flat_turning(m_left, m_right, m_sum):
+        return uturn_check_fn(m_left, m_right, m_sum)
+
+    def propose(rng_key: PRNGKey, initial_state: IntegratorState, step_size):
+        m0, _ = ravel_pytree(initial_state.momentum)
+        d = m0.shape[0]
+        max_depth = max_num_expansions
+        initial_energy = energy_fn(initial_state)
+        initial_proposal = Proposal(initial_state, initial_energy, 0.0, -jnp.inf)
+
+        def subtree_keys(depth):
+            subkey = jax.random.fold_in(rng_key, depth)
+            return jax.random.split(subkey, 3)  # direction, trajectory, proposal
+
+        def loop_cond(s: _FlatNUTSState):
+            return ~s.done
+
+        def loop_body(s: _FlatNUTSState):
+            direction_key, trajectory_key, proposal_key = subtree_keys(s.depth)
+            leaf_key = jax.random.fold_in(trajectory_key, s.leaf)
+
+            # -------- subtree start: pick direction, reset registers -----
+            at_start = s.leaf == 0
+            new_dir = jnp.where(jax.random.bernoulli(direction_key), 1.0, -1.0)
+            direction = jnp.where(at_start, new_dir, s.direction)
+            start_state = tree_select(direction > 0, s.right, s.left)
+            current = tree_select(at_start, start_state, s.current)
+
+            # -------- one leapfrog step ----------------------------------
+            new_state = integrator(current, direction * step_size)
+            new_proposal = generate_proposal(initial_energy, new_state)
+            leaf_diverging = -new_proposal.weight > divergence_threshold
+            m_new, _ = ravel_pytree(new_state.momentum)
+
+            # -------- subtree progressive sampling -----------------------
+            sub_momentum_sum = jnp.where(at_start, m_new, s.sub_momentum_sum + m_new)
+            merged_sub = progressive_uniform_sampling(
+                leaf_key, s.sub_proposal, new_proposal
+            )
+            sub_proposal = tree_select(at_start, new_proposal, merged_sub)
+
+            # -------- checkpointed subtree U-turn test -------------------
+            idx_min, idx_max = _checkpoint_slots(s.leaf)
+            is_even = (s.leaf % 2) == 0
+            row = jax.lax.broadcasted_iota(jnp.int32, s.ckpt_momentum.shape, 0)
+            write = is_even & (row == idx_max)
+            ckpt_momentum = jnp.where(write, m_new[None, :], s.ckpt_momentum)
+            ckpt_momentum_sum = jnp.where(
+                write, sub_momentum_sum[None, :], s.ckpt_momentum_sum
+            )
+
+            def check_slot(i, turning):
+                active = (i >= idx_min) & (i <= idx_max)
+                subtree_sum = sub_momentum_sum - ckpt_momentum_sum[i] + ckpt_momentum[i]
+                return turning | (
+                    active & flat_turning(ckpt_momentum[i], m_new, subtree_sum)
+                )
+
+            subtree_turning = jax.lax.fori_loop(
+                0, max_depth, check_slot, jnp.asarray(False)
+            )
+
+            # -------- subtree boundary bookkeeping -----------------------
+            leaf = s.leaf + 1
+            subtree_complete = leaf >= (1 << s.depth)
+            subtree_aborted = leaf_diverging | subtree_turning
+            closing = subtree_complete | subtree_aborted
+
+            # merge the (possibly partial) subtree into the main trajectory
+            momentum_sum = jnp.where(closing, s.momentum_sum + sub_momentum_sum, s.momentum_sum)
+            forward = direction > 0
+            new_left = tree_select(forward, s.left, new_state)
+            new_right = tree_select(forward, new_state, s.right)
+            left = tree_select(closing, new_left, s.left)
+            right = tree_select(closing, new_right, s.right)
+
+            # proposal update at subtree close: biased merge if healthy,
+            # acceptance-statistics-only if the subtree diverged/turned
+            slpa_only = Proposal(
+                s.proposal.state,
+                s.proposal.energy,
+                s.proposal.weight,
+                jnp.logaddexp(s.proposal.sum_log_p_accept, sub_proposal.sum_log_p_accept),
+            )
+            biased = progressive_biased_sampling(proposal_key, s.proposal, sub_proposal)
+            closed_proposal = tree_select(subtree_aborted, slpa_only, biased)
+            proposal = tree_select(closing, closed_proposal, s.proposal)
+
+            # full-trajectory U-turn test (only meaningful at subtree close)
+            m_left, _ = ravel_pytree(left.momentum)
+            m_right, _ = ravel_pytree(right.momentum)
+            full_turning = closing & flat_turning(m_left, m_right, momentum_sum)
+
+            depth = jnp.where(closing, s.depth + 1, s.depth)
+            leaf = jnp.where(closing, 0, leaf)
+
+            is_diverging = s.is_diverging | leaf_diverging
+            is_turning = s.is_turning | (closing & (subtree_turning | full_turning))
+            done = (
+                is_diverging
+                | is_turning
+                | (closing & (depth >= max_depth))
+            )
+
+            return _FlatNUTSState(
+                current=new_state,
+                left=left,
+                right=right,
+                momentum_sum=momentum_sum,
+                proposal=proposal,
+                num_states=s.num_states + 1,
+                direction=direction,
+                depth=depth,
+                leaf=leaf,
+                sub_momentum_sum=sub_momentum_sum,
+                sub_proposal=sub_proposal,
+                ckpt_momentum=ckpt_momentum,
+                ckpt_momentum_sum=ckpt_momentum_sum,
+                is_diverging=is_diverging,
+                is_turning=is_turning,
+                done=done,
+            )
+
+        zeros_ckpt = jnp.zeros((max_depth, d), dtype=m0.dtype)
+        init = _FlatNUTSState(
+            current=initial_state,
+            left=initial_state,
+            right=initial_state,
+            momentum_sum=m0,
+            proposal=initial_proposal,
+            num_states=jnp.asarray(0, jnp.int32),
+            direction=jnp.asarray(1.0, m0.dtype),
+            depth=jnp.asarray(0, jnp.int32),
+            leaf=jnp.asarray(0, jnp.int32),
+            sub_momentum_sum=jnp.zeros_like(m0),
+            sub_proposal=initial_proposal,
+            ckpt_momentum=zeros_ckpt,
+            ckpt_momentum_sum=zeros_ckpt,
+            is_diverging=jnp.asarray(False),
+            is_turning=jnp.asarray(False),
+            done=jnp.asarray(False),
+        )
+
+        final = jax.lax.while_loop(loop_cond, loop_body, init)
+        info = (
+            final.proposal,
+            final.left,
+            final.right,
+            final.momentum_sum,
+            final.num_states,
+            final.depth,
+            final.is_diverging,
+            final.is_turning,
+        )
+        return final.proposal.state, info
+
+    return propose

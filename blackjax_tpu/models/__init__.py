@@ -1,0 +1,15 @@
+from blackjax_tpu.models.targets import (
+    eight_schools_noncentered,
+    hierarchical_gaussian,
+    ill_conditioned_gaussian,
+    logistic_regression,
+    standard_normal,
+)
+
+__all__ = [
+    "standard_normal",
+    "ill_conditioned_gaussian",
+    "hierarchical_gaussian",
+    "eight_schools_noncentered",
+    "logistic_regression",
+]

@@ -1,0 +1,133 @@
+"""NUTS engine validation.
+
+- the checkpointing U-turn scheme is validated against a brute-force check
+  over every power-of-two-aligned subtree;
+- the flattened lockstep engine must produce bit-identical trajectories to
+  the nested reference-structured engine for the same key (they share the
+  key-derivation structure by construction);
+- moment recovery on an anisotropic Gaussian.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import blackjax_tpu
+from blackjax_tpu.mcmc import metrics, nuts, termination
+from blackjax_tpu.mcmc.hmc import HMCState
+
+
+class _FakeChainState:
+    def __init__(self, position):
+        self.position = position
+
+
+def _brute_force_turning(momenta, is_turning):
+    """For leaves 0..n-1, report whether ANY power-of-2-aligned subtree
+    ending at the last leaf is turning."""
+    n = len(momenta)
+    b = n - 1
+    size = 2
+    while size <= n:
+        if (b + 1) % size == 0:
+            a = b - size + 1
+            rho = sum(momenta[a : b + 1])
+            if bool(is_turning(momenta[a], momenta[b], rho)):
+                return True
+        size *= 2
+    return False
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_checkpoint_uturn_matches_brute_force(seed):
+    d, max_depth = 3, 4
+    rng = np.random.default_rng(seed)
+    momenta = [jnp.asarray(rng.normal(size=d)) for _ in range(2**max_depth)]
+    metric = metrics.gaussian_euclidean(jnp.ones(d))
+
+    new_state, update, is_met = termination.iterative_uturn(metric.check_turning)
+    state = new_state(_FakeChainState(jnp.zeros(d)), max_depth)
+
+    momentum_sum = jnp.zeros(d)
+    for leaf, m in enumerate(momenta):
+        momentum_sum = momentum_sum + m
+        state = update(state, momentum_sum, m, leaf)
+        got = bool(is_met(state, momentum_sum, m))
+        if leaf % 2 == 1:
+            expected = _brute_force_turning(momenta[: leaf + 1], metric.check_turning)
+            assert got == expected, f"leaf {leaf}: got {got}, expected {expected}"
+        else:
+            assert not got
+
+
+def _logdensity(x):
+    return -0.5 * jnp.sum(x**2 / jnp.array([1.0, 4.0, 0.25, 2.0]))
+
+
+def test_flattened_matches_nested_engine(rng_key):
+    imm = jnp.ones(4)
+    flat = nuts.build_kernel(engine="flattened")
+    nested = nuts.build_kernel(engine="nested")
+
+    position = jnp.array([1.0, -0.5, 0.3, 0.8])
+    state = nuts.init(position, _logdensity)
+
+    s_flat, s_nested = state, state
+    for i in range(25):
+        key = jax.random.fold_in(rng_key, i)
+        s_flat, info_flat = flat(key, s_flat, _logdensity, 0.25, imm)
+        s_nested, info_nested = nested(key, s_nested, _logdensity, 0.25, imm)
+        np.testing.assert_allclose(
+            np.asarray(s_flat.position), np.asarray(s_nested.position), rtol=1e-10
+        )
+        assert int(info_flat.num_integration_steps) == int(
+            info_nested.num_integration_steps
+        )
+        assert bool(info_flat.is_turning) == bool(info_nested.is_turning)
+        np.testing.assert_allclose(
+            float(info_flat.acceptance_rate),
+            float(info_nested.acceptance_rate),
+            rtol=1e-10,
+        )
+
+
+def test_nuts_moment_recovery(rng_key):
+    variances = jnp.array([1.0, 4.0, 0.25, 2.0])
+    algo = blackjax_tpu.nuts(_logdensity, step_size=0.5, inverse_mass_matrix=jnp.ones(4))
+    state = algo.init(jnp.zeros(4))
+    num_steps = 2000
+
+    _, (states, infos) = blackjax_tpu.util.run_inference_algorithm(
+        rng_key, algo, num_steps, initial_state=state
+    )
+    samples = np.asarray(states.position[500:])
+    np.testing.assert_allclose(samples.mean(0), np.zeros(4), atol=0.25)
+    np.testing.assert_allclose(samples.var(0), np.asarray(variances), rtol=0.3)
+    assert np.asarray(infos.acceptance_rate).mean() > 0.5
+
+
+def test_nuts_vmapped_chains(rng_key):
+    """The flattened engine under vmap: many chains in lockstep."""
+    num_chains = 32
+    algo = blackjax_tpu.nuts(_logdensity, step_size=0.4, inverse_mass_matrix=jnp.ones(4))
+    init_keys = jax.random.split(rng_key, num_chains)
+    positions = jax.vmap(lambda k: jax.random.normal(k, (4,)))(init_keys)
+    states = jax.vmap(algo.init)(positions)
+
+    @jax.jit
+    def step_all(key, states):
+        keys = jax.random.split(key, num_chains)
+        return jax.vmap(algo.step)(keys, states)
+
+    all_pos = []
+    key = rng_key
+    states_c = states
+    for i in range(200):
+        key, sub = jax.random.split(key)
+        states_c, infos = step_all(sub, states_c)
+        all_pos.append(states_c.position)
+    samples = np.asarray(jnp.stack(all_pos))[50:].reshape(-1, 4)
+    np.testing.assert_allclose(samples.mean(0), np.zeros(4), atol=0.2)
+    np.testing.assert_allclose(
+        samples.var(0), np.array([1.0, 4.0, 0.25, 2.0]), rtol=0.25
+    )
