@@ -7,17 +7,46 @@ convention; this package reflects each into a callable registry entry so that
 ``GenerateSamplingAPI`` pattern of the reference, ``blackjax/__init__.py:71-107``).
 """
 import dataclasses
+import functools
 from typing import Callable
 
 from blackjax_tpu import diagnostics, util
+from blackjax_tpu.adaptation.chees_adaptation import chees_adaptation
+from blackjax_tpu.adaptation.mclmc_adaptation import mclmc_find_L_and_step_size
+from blackjax_tpu.adaptation.meads_adaptation import meads_adaptation
+from blackjax_tpu.adaptation.pathfinder_adaptation import pathfinder_adaptation
+from blackjax_tpu.adaptation.step_size import dual_averaging_adaptation
+from blackjax_tpu.adaptation.window_adaptation import window_adaptation
 from blackjax_tpu.base import (
     AdaptationAlgorithm,
     SamplingAlgorithm,
     VIAlgorithm,
     build_sampling_algorithm,
 )
+from blackjax_tpu.mcmc import adjusted_mclmc as _adjusted_mclmc
+from blackjax_tpu.mcmc import adjusted_mclmc_dynamic as _adjusted_mclmc_dynamic
+from blackjax_tpu.mcmc import dynamic_hmc as _dynamic_hmc
+from blackjax_tpu.mcmc import ghmc as _ghmc
 from blackjax_tpu.mcmc import hmc as _hmc
+from blackjax_tpu.mcmc import mala as _mala
+from blackjax_tpu.mcmc import mclmc as _mclmc
 from blackjax_tpu.mcmc import nuts as _nuts
+from blackjax_tpu.mcmc import random_walk
+from blackjax_tpu.optimizers import dual_averaging
+from blackjax_tpu.sgmcmc import csgld as _csgld
+from blackjax_tpu.sgmcmc import sghmc as _sghmc
+from blackjax_tpu.sgmcmc import sgld as _sgld
+from blackjax_tpu.sgmcmc import sgnht as _sgnht
+from blackjax_tpu.smc import adaptive_tempered as _adaptive_tempered
+from blackjax_tpu.smc import inner_kernel_tuning as _inner_kernel_tuning
+from blackjax_tpu.smc import partial_posteriors_path as _partial_posteriors_smc
+from blackjax_tpu.smc import tempered as _tempered
+from blackjax_tpu.vi import fullrank_vi as _fullrank_vi
+from blackjax_tpu.vi import meanfield_vi as _meanfield_vi
+from blackjax_tpu.vi import multipathfinder as _multipathfinder
+from blackjax_tpu.vi import pathfinder as _pathfinder
+from blackjax_tpu.vi import schrodinger_follmer as _schrodinger_follmer
+from blackjax_tpu.vi import svgd as _svgd
 
 __version__ = "0.1.0"
 
@@ -48,6 +77,16 @@ class GenerateVariationalAPI:
         return self.differentiable(*args, **kwargs)
 
 
+@dataclasses.dataclass
+class GeneratePathfinderAPI:
+    differentiable: Callable
+    approximate: Callable
+    sample: Callable
+
+    def __call__(self, *args, **kwargs):
+        return self.differentiable(*args, **kwargs)
+
+
 def generate_top_level_api_from(module) -> GenerateSamplingAPI:
     return GenerateSamplingAPI(
         module.as_top_level_api, module.init, module.build_kernel
@@ -57,8 +96,102 @@ def generate_top_level_api_from(module) -> GenerateSamplingAPI:
 # --- MCMC -----------------------------------------------------------------
 hmc = generate_top_level_api_from(_hmc)
 nuts = generate_top_level_api_from(_nuts)
+mala = generate_top_level_api_from(_mala)
+ghmc = generate_top_level_api_from(_ghmc)
+mclmc = generate_top_level_api_from(_mclmc)
+adjusted_mclmc = generate_top_level_api_from(_adjusted_mclmc)
+adjusted_mclmc_dynamic = generate_top_level_api_from(_adjusted_mclmc_dynamic)
+dhmc = generate_top_level_api_from(_dynamic_hmc)
+dynamic_hmc = dhmc
+
+rmh = GenerateSamplingAPI(
+    random_walk.rmh_as_top_level_api, random_walk.init, random_walk.build_rmh
+)
+irmh = GenerateSamplingAPI(
+    random_walk.irmh_as_top_level_api, random_walk.init, random_walk.build_irmh
+)
+additive_step_random_walk = GenerateSamplingAPI(
+    random_walk.additive_step_random_walk,
+    random_walk.init,
+    random_walk.build_additive_step,
+)
+additive_step_random_walk.register_factory(
+    "normal_random_walk", random_walk.normal_random_walk
+)
+
+mhmc = GenerateSamplingAPI(
+    functools.partial(_hmc.as_top_level_api, build_proposal=_hmc.multinomial_hmc_proposal),
+    _hmc.init,
+    functools.partial(_hmc.build_kernel, build_proposal=_hmc.multinomial_hmc_proposal),
+)
+multinomial_hmc = mhmc
+
+dmhmc = GenerateSamplingAPI(
+    functools.partial(
+        _dynamic_hmc.as_top_level_api, build_proposal=_hmc.multinomial_hmc_proposal
+    ),
+    _dynamic_hmc.init,
+    functools.partial(
+        _dynamic_hmc.build_kernel, build_proposal=_hmc.multinomial_hmc_proposal
+    ),
+)
+
+hmc_family = [hmc, nuts, mhmc]
+
+# --- SMC ------------------------------------------------------------------
+tempered_smc = generate_top_level_api_from(_tempered)
+adaptive_tempered_smc = generate_top_level_api_from(_adaptive_tempered)
+inner_kernel_tuning = generate_top_level_api_from(_inner_kernel_tuning)
+partial_posteriors_smc = generate_top_level_api_from(_partial_posteriors_smc)
+smc_family = [tempered_smc, adaptive_tempered_smc, partial_posteriors_smc]
+
+# --- SGMCMC ---------------------------------------------------------------
+sgld = generate_top_level_api_from(_sgld)
+sghmc = generate_top_level_api_from(_sghmc)
+sgnht = generate_top_level_api_from(_sgnht)
+csgld = generate_top_level_api_from(_csgld)
+
+# --- Variational inference ------------------------------------------------
+svgd = generate_top_level_api_from(_svgd)
+meanfield_vi = GenerateVariationalAPI(
+    _meanfield_vi.as_top_level_api,
+    _meanfield_vi.init,
+    _meanfield_vi.step,
+    _meanfield_vi.sample,
+)
+fullrank_vi = GenerateVariationalAPI(
+    _fullrank_vi.as_top_level_api,
+    _fullrank_vi.init,
+    _fullrank_vi.step,
+    _fullrank_vi.sample,
+)
+schrodinger_follmer = GenerateVariationalAPI(
+    _schrodinger_follmer.as_top_level_api,
+    _schrodinger_follmer.init,
+    _schrodinger_follmer.step,
+    _schrodinger_follmer.sample,
+)
+pathfinder = GeneratePathfinderAPI(
+    _pathfinder.as_top_level_api, _pathfinder.approximate, _pathfinder.sample
+)
+multipathfinder = _multipathfinder.as_top_level_api
 
 __all__ = [
+    "tempered_smc",
+    "adaptive_tempered_smc",
+    "inner_kernel_tuning",
+    "partial_posteriors_smc",
+    "smc_family",
+    "sgld",
+    "sghmc",
+    "sgnht",
+    "csgld",
+    "svgd",
+    "meanfield_vi",
+    "fullrank_vi",
+    "schrodinger_follmer",
+    "pathfinder",
+    "multipathfinder",
     "__version__",
     "SamplingAlgorithm",
     "VIAlgorithm",
@@ -66,6 +199,27 @@ __all__ = [
     "build_sampling_algorithm",
     "diagnostics",
     "util",
+    "dual_averaging",
     "hmc",
+    "mhmc",
+    "multinomial_hmc",
     "nuts",
+    "dhmc",
+    "dmhmc",
+    "dynamic_hmc",
+    "mala",
+    "rmh",
+    "irmh",
+    "additive_step_random_walk",
+    "ghmc",
+    "mclmc",
+    "adjusted_mclmc",
+    "adjusted_mclmc_dynamic",
+    "window_adaptation",
+    "dual_averaging_adaptation",
+    "chees_adaptation",
+    "meads_adaptation",
+    "pathfinder_adaptation",
+    "mclmc_find_L_and_step_size",
+    "hmc_family",
 ]

@@ -79,7 +79,8 @@ def iterative_uturn(is_turning):
             slot_turning = is_turning(ckpt_r[i], r, subtree_sum)
             return turning | (active & slot_turning)
 
-        return jax.lax.fori_loop(0, max_depth, check_slot, jnp.asarray(False))
+        # data-derived False so the carry type matches under shard_map VMA
+        return jax.lax.fori_loop(0, max_depth, check_slot, (r[0] * 0) > 0)
 
     return new_state, update, is_criterion_met
 

@@ -53,6 +53,28 @@ __all__ = [
 ]
 
 
+def _with_vma_of(ref, x):
+    """Return scalar ``x`` broadcast to carry ``ref``'s varying-manual-axes
+    (VMA) type.
+
+    Under ``shard_map`` (check_vma on), loop carries initialized from Python
+    constants are *invariant* while loop bodies mixing in device-varying data
+    produce *varying* values — a type mismatch. Mixing in a data-derived zero
+    fixes the carry's type without naming any mesh axis (so the same code
+    runs unsharded, where this folds away to a no-op).
+    """
+    z = jnp.asarray(ref).ravel()[0] * 0
+    x = jnp.asarray(x)
+    if x.dtype == jnp.bool_:
+        return x | (z > 0)
+    return x + z.astype(x.dtype)
+
+
+def _promote_carry_vma(ref, tree):
+    """Apply :func:`_with_vma_of` to every leaf of a loop carry."""
+    return jax.tree.map(lambda leaf: _with_vma_of(ref, leaf), tree)
+
+
 class Trajectory(NamedTuple):
     leftmost_state: IntegratorState
     rightmost_state: IntegratorState
@@ -230,9 +252,14 @@ def dynamic_progressive_integration(
 
         placeholder_proposal = generate_proposal(initial_energy, initial_state)
         placeholder_traj = Trajectory(initial_state, initial_state, initial_state.momentum, 0)
-        init_loop_state = (
-            DynamicIntegrationState(0, placeholder_proposal, placeholder_traj, termination_state),
-            (False, False),
+        init_loop_state = _promote_carry_vma(
+            initial_energy,
+            (
+                DynamicIntegrationState(
+                    0, placeholder_proposal, placeholder_traj, termination_state
+                ),
+                (False, False),
+            ),
         )
         final, (is_diverging, has_terminated) = jax.lax.while_loop(
             keep_going, add_one_state, init_loop_state
@@ -327,7 +354,11 @@ def dynamic_multiplicative_expansion(
             return new_state, (is_diverging, is_turning_subtree | is_turning)
 
         return jax.lax.while_loop(
-            keep_expanding, expand_once, (initial_expansion_state, (False, False))
+            keep_expanding,
+            expand_once,
+            _promote_carry_vma(
+                initial_energy, (initial_expansion_state, (False, False))
+            ),
         )
 
     return expand
@@ -440,7 +471,10 @@ def flattened_nuts(
         d = m0.shape[0]
         max_depth = max_num_expansions
         initial_energy = energy_fn(initial_state)
-        initial_proposal = Proposal(initial_state, initial_energy, 0.0, -jnp.inf)
+        fzero = 0.0 * initial_energy  # varying-typed scalar zero
+        initial_proposal = Proposal(
+            initial_state, initial_energy, fzero, -jnp.inf + fzero
+        )
 
         def subtree_keys(depth):
             subkey = jax.random.fold_in(rng_key, depth)
@@ -491,7 +525,7 @@ def flattened_nuts(
                 )
 
             subtree_turning = jax.lax.fori_loop(
-                0, max_depth, check_slot, jnp.asarray(False)
+                0, max_depth, check_slot, _with_vma_of(m_new, False)
             )
 
             # -------- subtree boundary bookkeeping -----------------------
@@ -555,24 +589,26 @@ def flattened_nuts(
                 done=done,
             )
 
-        zeros_ckpt = jnp.zeros((max_depth, d), dtype=m0.dtype)
+        zeros_ckpt = jnp.zeros((max_depth, d), dtype=m0.dtype) + 0 * m0[None, :]
+        izero = _with_vma_of(m0, jnp.asarray(0, jnp.int32))
+        bfalse = _with_vma_of(m0, False)
         init = _FlatNUTSState(
             current=initial_state,
             left=initial_state,
             right=initial_state,
             momentum_sum=m0,
             proposal=initial_proposal,
-            num_states=jnp.asarray(0, jnp.int32),
-            direction=jnp.asarray(1.0, m0.dtype),
-            depth=jnp.asarray(0, jnp.int32),
-            leaf=jnp.asarray(0, jnp.int32),
-            sub_momentum_sum=jnp.zeros_like(m0),
+            num_states=izero,
+            direction=jnp.asarray(1.0, m0.dtype) + 0 * m0[0],
+            depth=izero,
+            leaf=izero,
+            sub_momentum_sum=0.0 * m0,
             sub_proposal=initial_proposal,
             ckpt_momentum=zeros_ckpt,
             ckpt_momentum_sum=zeros_ckpt,
-            is_diverging=jnp.asarray(False),
-            is_turning=jnp.asarray(False),
-            done=jnp.asarray(False),
+            is_diverging=bfalse,
+            is_turning=bfalse,
+            done=bfalse,
         )
 
         final = jax.lax.while_loop(loop_cond, loop_body, init)

@@ -67,6 +67,35 @@ def eca_step(
     )
 
 
+def sharded_splitR(position, num_chains, superchain_size, func=jnp.square):
+    """Nested-R̂ over superchains computed across the sharded ensemble.
+
+    ``position``: the LOCAL ``(chains_per_device, ...)`` block inside
+    ``shard_map``. Superchains must be device-local groups
+    (``chains_per_device % superchain_size == 0``), which holds by
+    construction since :func:`ensemble_execute_fn` repeats keys contiguously.
+    Cross-device moments ride one ``psum`` each; the result is replicated.
+
+    Mirrors the semantics of :func:`blackjax_tpu.diagnostics.splitR`
+    (reference ``diagnostics.py:285``) but with ``psum``-reduced
+    between/within-superchain moments instead of a full gather.
+    """
+    fx = jax.vmap(func)(position)
+    fx = fx.reshape(fx.shape[0], -1)  # (local_chains, nfunc)
+    local_chains = fx.shape[0]
+    n_super = num_chains // superchain_size
+    fx = fx.reshape(local_chains // superchain_size, superchain_size, -1)
+
+    mean_k = jnp.mean(fx, axis=1)  # (local_super, nfunc)
+    within_k = jnp.var(fx, axis=1, ddof=1)
+    within = lax.psum(jnp.sum(within_k, axis=0), "chains") / n_super
+    sum_mean = lax.psum(jnp.sum(mean_k, axis=0), "chains")
+    sum_sq = lax.psum(jnp.sum(mean_k**2, axis=0), "chains")
+    grand_mean = sum_mean / n_super
+    between = (sum_sq - n_super * grand_mean**2) / (n_super - 1)
+    return jnp.sqrt(1.0 + between / within)
+
+
 def add_splitR(step, num_chains, superchain_size):
     """Augment a step with nested-R̂ convergence statistics over superchains."""
     if superchain_size is None:
@@ -78,7 +107,7 @@ def add_splitR(step, num_chains, superchain_size):
             info["R_avg"] = 0.0
             info["R_max"] = 0.0
         else:
-            R = splitR(state.position, num_chains, superchain_size)
+            R = sharded_splitR(state.position, num_chains, superchain_size)
             info["R_avg"] = jnp.mean(jnp.square(R) - 1)
             info["R_max"] = jnp.max(jnp.square(R) - 1)
         return (state, adaptation_state), info

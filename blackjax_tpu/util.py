@@ -130,6 +130,14 @@ class StreamingState(NamedTuple):
     streaming_avg: tuple  # (total_weight, running_mean_pytree)
 
 
+def safediv(numerator, denominator):
+    """``numerator / denominator`` with 0/0 mapped to 0 (streaming-average
+    guard for all-zero weights)."""
+    return jnp.where(
+        numerator == 0.0, 0.0, numerator / jnp.where(denominator == 0.0, 1.0, denominator)
+    )
+
+
 def incremental_value_update(
     expectation: ArrayTree,
     incremental_val: tuple,
@@ -142,13 +150,12 @@ def incremental_value_update(
     ``mean <- (total*mean + weight*expectation) / (total + weight + zero_prevention)``.
     """
     total, avg = incremental_val
-    new_total = total + weight
     avg = jax.tree.map(
-        lambda a, e: (total * a + weight * e) / (new_total + zero_prevention),
+        lambda a, e: safediv(total * a + weight * e, total + weight + zero_prevention),
         avg,
         expectation,
     )
-    return new_total, avg
+    return total + weight, avg
 
 
 def store_only_expectation_values(

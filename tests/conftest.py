@@ -2,13 +2,14 @@
 sharded (``shard_map``) code paths run without TPU hardware — the same
 technique the reference uses (``tests/test_multidevice/conftest.py:38-63``).
 
-Must run before jax is imported anywhere, hence the env mutation at module
-import time.
+The environment's sitecustomize imports jax at interpreter startup and
+pins the ``axon`` TPU platform, so env-var mutation here is too late;
+``jax.config.update`` before first backend use still works, as does setting
+``XLA_FLAGS`` before the CPU client is created.
 """
 import datetime
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover — backend already initialized
+    pass
 jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402

@@ -66,8 +66,8 @@ def _logdensity(x):
 
 def test_flattened_matches_nested_engine(rng_key):
     imm = jnp.ones(4)
-    flat = nuts.build_kernel(engine="flattened")
-    nested = nuts.build_kernel(engine="nested")
+    flat = jax.jit(nuts.build_kernel(engine="flattened"), static_argnums=(2,))
+    nested = jax.jit(nuts.build_kernel(engine="nested"), static_argnums=(2,))
 
     position = jnp.array([1.0, -0.5, 0.3, 0.8])
     state = nuts.init(position, _logdensity)

@@ -1,0 +1,127 @@
+"""Statistical integration tests: univariate/multivariate moment recovery
+across the sampler families (mirrors the strategy of the reference's
+``tests/mcmc/test_sampling.py:1055-1240``)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import blackjax_tpu
+from blackjax_tpu.util import run_inference_algorithm
+
+TRUE_LOC, TRUE_SCALE = 1.0, 2.0
+
+
+def normal_logdensity(x):
+    return -0.5 * jnp.sum(((x - TRUE_LOC) / TRUE_SCALE) ** 2)
+
+
+def _algorithms(rng_key):
+    d = 4
+    imm = jnp.ones(d) * TRUE_SCALE**2
+    return {
+        "hmc": (
+            blackjax_tpu.hmc(
+                normal_logdensity,
+                step_size=0.5,
+                inverse_mass_matrix=imm,
+                num_integration_steps=8,
+            ),
+            2000,
+        ),
+        "mhmc": (
+            blackjax_tpu.mhmc(
+                normal_logdensity,
+                step_size=0.5,
+                inverse_mass_matrix=imm,
+                num_integration_steps=8,
+            ),
+            2000,
+        ),
+        "nuts": (
+            blackjax_tpu.nuts(
+                normal_logdensity, step_size=0.7, inverse_mass_matrix=imm
+            ),
+            1500,
+        ),
+        "mala": (
+            blackjax_tpu.mala(normal_logdensity, step_size=0.3),
+            4000,
+        ),
+        "rw": (
+            blackjax_tpu.additive_step_random_walk.normal_random_walk(
+                normal_logdensity, jnp.full(4, 1.5)
+            ),
+            6000,
+        ),
+        "ghmc": (
+            blackjax_tpu.ghmc(
+                normal_logdensity,
+                step_size=0.6,
+                momentum_inverse_scale=jnp.full(4, 1.0 / TRUE_SCALE),
+                alpha=0.2,
+                delta=0.05,
+            ),
+            4000,
+        ),
+        "mclmc": (
+            blackjax_tpu.mclmc(normal_logdensity, L=3.0, step_size=0.6),
+            4000,
+        ),
+        "adjusted_mclmc": (
+            blackjax_tpu.adjusted_mclmc(
+                normal_logdensity, step_size=0.8, num_integration_steps=5
+            ),
+            3000,
+        ),
+        "dynamic_hmc": (
+            blackjax_tpu.dynamic_hmc(
+                normal_logdensity, step_size=0.5, inverse_mass_matrix=imm
+            ),
+            2500,
+        ),
+    }
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "hmc",
+        "mhmc",
+        "nuts",
+        "mala",
+        "rw",
+        "ghmc",
+        "mclmc",
+        "adjusted_mclmc",
+        "dynamic_hmc",
+    ],
+)
+def test_univariate_normal_moments(name, rng_key):
+    algo, num_steps = _algorithms(rng_key)[name]
+    init_key, run_key = jax.random.split(rng_key)
+    position = TRUE_LOC + jnp.zeros(4)
+    state = algo.init(position, init_key)
+    _, (states, _) = run_inference_algorithm(
+        run_key, algo, num_steps, initial_state=state
+    )
+    burn = num_steps // 4
+    samples = np.asarray(states.position)[burn:].reshape(-1)
+    assert abs(samples.mean() - TRUE_LOC) < 0.25, f"{name}: mean {samples.mean()}"
+    assert abs(samples.std() - TRUE_SCALE) < 0.5, f"{name}: std {samples.std()}"
+
+
+def test_irmh_exact_on_gaussian(rng_key):
+    """IRMH with the exact target as proposal accepts everything."""
+    proposal_dist = lambda key: TRUE_LOC + TRUE_SCALE * jax.random.normal(key, (4,))
+
+    def proposal_logdensity(from_state, to_state):
+        # independent proposal: q(to | from) = q(to)
+        return normal_logdensity(to_state.position)
+
+    algo = blackjax_tpu.irmh(normal_logdensity, proposal_dist, proposal_logdensity)
+    state = algo.init(jnp.zeros(4))
+    _, (states, infos) = run_inference_algorithm(rng_key, algo, 500, initial_state=state)
+    assert np.asarray(infos.is_accepted).mean() > 0.99

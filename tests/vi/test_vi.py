@@ -1,0 +1,85 @@
+"""VI family: mean recovery for MFVI/FRVI, pathfinder approximation quality,
+SVGD particle convergence, Schrödinger-Föllmer sampling."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import blackjax_tpu
+
+LOC = jnp.array([1.0, -0.5])
+SCALES = jnp.array([0.7, 1.3])
+
+
+def logdensity(x):
+    return -0.5 * jnp.sum(((x - LOC) / SCALES) ** 2)
+
+
+def test_meanfield_vi(rng_key):
+    algo = blackjax_tpu.meanfield_vi(logdensity, optax.adam(0.05), num_samples=50)
+    state = algo.init(jnp.zeros(2))
+    step = jax.jit(algo.step)
+    for i in range(600):
+        state, info = step(jax.random.fold_in(rng_key, i), state)
+    np.testing.assert_allclose(np.asarray(state.mu), np.asarray(LOC), atol=0.15)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(state.rho)), np.asarray(SCALES), atol=0.25
+    )
+    samples = algo.sample(rng_key, state, 1000)
+    np.testing.assert_allclose(samples.mean(0), np.asarray(LOC), atol=0.2)
+
+
+def test_fullrank_vi_recovers_correlation(rng_key):
+    cov = jnp.array([[1.0, 0.7], [0.7, 1.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def corr_logdensity(x):
+        return -0.5 * x @ prec @ x
+
+    algo = blackjax_tpu.fullrank_vi(corr_logdensity, optax.adam(0.05), num_samples=50)
+    state = algo.init(jnp.zeros(2))
+    step = jax.jit(algo.step)
+    for i in range(800):
+        state, info = step(jax.random.fold_in(rng_key, i), state)
+    samples = algo.sample(rng_key, state, 4000)
+    emp_cov = np.cov(np.asarray(samples).T)
+    np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.2)
+
+
+def test_pathfinder_gaussian(rng_key):
+    state, info = blackjax_tpu.pathfinder.approximate(
+        rng_key, logdensity, jnp.array([3.0, 3.0]), maxiter=20
+    )
+    assert np.isfinite(float(state.elbo))
+    samples, logq = blackjax_tpu.pathfinder.sample(rng_key, state, 2000)
+    np.testing.assert_allclose(np.asarray(samples).mean(0), np.asarray(LOC), atol=0.15)
+    np.testing.assert_allclose(np.asarray(samples).std(0), np.asarray(SCALES), rtol=0.25)
+
+
+def test_multipathfinder(rng_key):
+    positions = jax.random.normal(rng_key, (4, 2)) * 2.0
+    state, info = blackjax_tpu.multipathfinder(logdensity).init(
+        rng_key, positions, num_samples=100, maxiter=15
+    )
+    samples = blackjax_tpu.multipathfinder(logdensity).sample(rng_key, state, 500)
+    np.testing.assert_allclose(np.asarray(samples).mean(0), np.asarray(LOC), atol=0.25)
+
+
+def test_svgd(rng_key):
+    algo = blackjax_tpu.svgd(jax.grad(logdensity), optax.sgd(0.3))
+    particles = jax.random.normal(rng_key, (80, 2)) + 3.0
+    state = algo.init(particles)
+    step = jax.jit(algo.step)
+    for _ in range(300):
+        state = step(state)
+    final = np.asarray(state.particles)
+    np.testing.assert_allclose(final.mean(0), np.asarray(LOC), atol=0.2)
+
+
+def test_schrodinger_follmer(rng_key):
+    algo = blackjax_tpu.schrodinger_follmer(logdensity, n_steps=100, n_inner_samples=200)
+    state = algo.init(jnp.zeros(2))
+    final = algo.sample(rng_key, state, 500)
+    samples = np.asarray(final.position)
+    np.testing.assert_allclose(samples.mean(0), np.asarray(LOC), atol=0.3)
