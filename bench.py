@@ -117,6 +117,13 @@ def bench_ours(rng_key, step_size, imm):
 
 def bench_reference(rng_key, step_size, imm):
     sys.path.insert(0, "/root/reference")
+    # the reference's generated version module is absent from its source
+    # tree; stub it so the package imports
+    import types
+
+    version_stub = types.ModuleType("blackjax._version")
+    version_stub.__version__ = "reference"
+    sys.modules.setdefault("blackjax._version", version_stub)
     import blackjax  # noqa: E501 — stock reference library, vmapped
 
     algo = blackjax.nuts(

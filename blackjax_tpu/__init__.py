@@ -25,13 +25,20 @@ from blackjax_tpu.base import (
 )
 from blackjax_tpu.mcmc import adjusted_mclmc as _adjusted_mclmc
 from blackjax_tpu.mcmc import adjusted_mclmc_dynamic as _adjusted_mclmc_dynamic
+from blackjax_tpu.mcmc import barker as _barker
 from blackjax_tpu.mcmc import dynamic_hmc as _dynamic_hmc
+from blackjax_tpu.mcmc import elliptical_slice as _elliptical_slice
+from blackjax_tpu.mcmc import marginal_latent_gaussian as _marginal_latent_gaussian
+from blackjax_tpu.mcmc import periodic_orbital as _periodic_orbital
+from blackjax_tpu.mcmc import rmhmc as _rmhmc
+from blackjax_tpu.mcmc import slice as _slice
 from blackjax_tpu.mcmc import ghmc as _ghmc
 from blackjax_tpu.mcmc import hmc as _hmc
 from blackjax_tpu.mcmc import mala as _mala
 from blackjax_tpu.mcmc import mclmc as _mclmc
 from blackjax_tpu.mcmc import nuts as _nuts
 from blackjax_tpu.mcmc import random_walk
+from blackjax_tpu.ns import nss as _nss
 from blackjax_tpu.optimizers import dual_averaging
 from blackjax_tpu.sgmcmc import csgld as _csgld
 from blackjax_tpu.sgmcmc import sghmc as _sghmc
@@ -138,12 +145,30 @@ dmhmc = GenerateSamplingAPI(
 
 hmc_family = [hmc, nuts, mhmc]
 
+barker = generate_top_level_api_from(_barker)
+barker_proposal = barker
+rmhmc = generate_top_level_api_from(_rmhmc)
+elliptical_slice = generate_top_level_api_from(_elliptical_slice)
+slice_sampling = generate_top_level_api_from(_slice)
+coordinate_slice = GenerateSamplingAPI(
+    _slice.coordinate_slice, _slice.init, _slice.build_coordinate_kernel
+)
+orbital_hmc = generate_top_level_api_from(_periodic_orbital)
+mgrad_gaussian = generate_top_level_api_from(_marginal_latent_gaussian)
+
 # --- SMC ------------------------------------------------------------------
 tempered_smc = generate_top_level_api_from(_tempered)
 adaptive_tempered_smc = generate_top_level_api_from(_adaptive_tempered)
 inner_kernel_tuning = generate_top_level_api_from(_inner_kernel_tuning)
 partial_posteriors_smc = generate_top_level_api_from(_partial_posteriors_smc)
 smc_family = [tempered_smc, adaptive_tempered_smc, partial_posteriors_smc]
+
+# --- Nested sampling ------------------------------------------------------
+nss = GenerateSamplingAPI(_nss.as_top_level_api, _nss.init, _nss.build_kernel)
+nsswig = GenerateSamplingAPI(
+    _nss.swig_as_top_level_api, _nss.init, _nss.build_swig_kernel
+)
+ns_family = [nss, nsswig]
 
 # --- SGMCMC ---------------------------------------------------------------
 sgld = generate_top_level_api_from(_sgld)
@@ -182,6 +207,9 @@ __all__ = [
     "inner_kernel_tuning",
     "partial_posteriors_smc",
     "smc_family",
+    "nss",
+    "nsswig",
+    "ns_family",
     "sgld",
     "sghmc",
     "sgnht",
@@ -215,6 +243,14 @@ __all__ = [
     "mclmc",
     "adjusted_mclmc",
     "adjusted_mclmc_dynamic",
+    "barker",
+    "barker_proposal",
+    "rmhmc",
+    "elliptical_slice",
+    "slice_sampling",
+    "coordinate_slice",
+    "orbital_hmc",
+    "mgrad_gaussian",
     "window_adaptation",
     "dual_averaging_adaptation",
     "chees_adaptation",

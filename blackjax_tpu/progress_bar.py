@@ -1,0 +1,129 @@
+"""Progress tracing for on-device inference loops.
+
+Behavioral parity target: ``blackjax/progress_bar.py`` (host-side
+``ProgressState`` with a never-raise step callback :44-95, atomic
+progress-file writes :115-120, multi-phase reset detection :103-113,
+out-of-process monitoring via ``progress_reader``).
+
+TPU-first delta: the reference hooks scan steps by monkeypatching
+``lax.scan`` through the optional ``jax-tap`` package. Here progress is
+wired explicitly with ``jax.debug.callback`` — a documented, compiler-visible
+mechanism: :func:`progress_bar_scan` wraps a scan body so the device posts a
+host callback every ``print_rate`` steps (the callback is asynchronous and
+does not stall the device pipeline), and
+``util.run_inference_algorithm(..., progress_bar=True)`` uses it.
+"""
+import os
+import threading
+from typing import Callable, Optional
+
+import jax
+
+__all__ = ["ProgressState", "progress_bar_scan", "progress_bar_factory"]
+
+
+class ProgressState:
+    """Host-side mutable progress record.
+
+    Invariant: nothing called from a JAX callback may ever raise — a raised
+    exception inside a host callback can poison the runtime. Every update
+    is wrapped accordingly. Callbacks arrive on JAX runtime threads, so
+    updates are serialized with a lock rather than gated by thread identity.
+    """
+
+    def __init__(self, num_steps: int, output_file: Optional[str] = None, use_tqdm: bool = True):
+        self.num_steps = num_steps
+        self.step = 0
+        self.output_file = output_file
+        self._lock = threading.Lock()
+        self._bar = None
+        if use_tqdm:
+            try:  # tqdm is optional; fall back to file/stderr-only silently
+                from tqdm.auto import tqdm
+
+                self._bar = tqdm(total=num_steps, desc="sampling")
+            except Exception:
+                self._bar = None
+
+    def update(self, step: int) -> None:
+        try:
+            self._lock.acquire()
+            step = int(step)
+            if step < self.step:
+                # a smaller step means a new phase (e.g. warmup -> sampling)
+                # started reusing the same progress state; reset
+                self.step = 0
+                if self._bar is not None:
+                    self._bar.reset()
+            advance = step - self.step
+            self.step = step
+            if self._bar is not None and advance > 0:
+                self._bar.update(advance)
+            if self.output_file is not None:
+                self._write_file()
+        except Exception:
+            pass  # never raise from a host callback
+        finally:
+            try:
+                self._lock.release()
+            except Exception:
+                pass
+
+    def _write_file(self) -> None:
+        """Atomic progress-file write: temp file + rename so a concurrent
+        reader never sees a partial line."""
+        tmp = f"{self.output_file}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(f"{self.step} {self.num_steps}")
+        os.replace(tmp, self.output_file)
+
+    def close(self) -> None:
+        try:
+            if self._bar is not None:
+                self._bar.close()
+        except Exception:
+            pass
+
+
+def progress_bar_factory(
+    num_steps: int,
+    print_rate: Optional[int] = None,
+    output_file: Optional[str] = None,
+    use_tqdm: bool = True,
+):
+    """Return ``(wrap_body, state)``: ``wrap_body(body_fn)`` decorates a scan
+    body of signature ``(carry, (index, *xs)) -> (carry, ys)`` so the host
+    observes step ``index`` every ``print_rate`` steps."""
+    state = ProgressState(num_steps, output_file, use_tqdm)
+    if print_rate is None:
+        print_rate = max(1, num_steps // 100)
+
+    def _host_update(step):
+        state.update(int(step) + 1)
+
+    def wrap_body(body_fn: Callable) -> Callable:
+        def wrapped(carry, xs):
+            index = xs[0] if isinstance(xs, tuple) else xs
+            should_report = (index % print_rate == 0) | (index == num_steps - 1)
+            jax.lax.cond(
+                should_report,
+                lambda i: jax.debug.callback(_host_update, i, ordered=False),
+                lambda i: None,
+                index,
+            )
+            return body_fn(carry, xs)
+
+        return wrapped
+
+    return wrap_body, state
+
+
+def progress_bar_scan(
+    num_steps: int,
+    print_rate: Optional[int] = None,
+    output_file: Optional[str] = None,
+):
+    """Decorator form: ``@progress_bar_scan(n)`` over a scan body whose xs
+    lead with the step index."""
+    wrap_body, _ = progress_bar_factory(num_steps, print_rate, output_file)
+    return wrap_body

@@ -92,11 +92,18 @@ def run_inference_algorithm(
     initial_state: ArrayLikeTree = None,
     initial_position: ArrayLikeTree = None,
     transform: Callable = lambda state, info: (state, info),
+    progress_bar: bool = False,
+    progress_output_file: str | None = None,
 ) -> tuple:
     """The canonical inference loop: one ``lax.scan`` over ``num_steps``
     kernel applications (reference ``util.py:150``).
 
     Does not apply to SGMCMC kernels, which take a minibatch per step.
+
+    ``progress_bar=True`` posts asynchronous host callbacks from the device
+    (~1% step granularity); ``progress_output_file`` additionally writes
+    ``"{step} {num_steps}"`` atomically for out-of-process monitoring via
+    ``blackjax_tpu.progress_reader``.
 
     Returns ``(final_state, history)`` where ``history`` is
     ``transform(state, info)`` stacked over steps.
@@ -117,8 +124,21 @@ def run_inference_algorithm(
         state, info = inference_algorithm.step(key, state)
         return state, transform(state, info)
 
+    progress_state = None
+    if progress_bar or progress_output_file is not None:
+        from blackjax_tpu.progress_bar import progress_bar_factory
+
+        wrap_body, progress_state = progress_bar_factory(
+            num_steps, output_file=progress_output_file, use_tqdm=progress_bar
+        )
+        one_step = wrap_body(one_step)
+
     xs = (jnp.arange(num_steps), keys)
     final_state, history = lax.scan(one_step, initial_state, xs)
+    if progress_state is not None:
+        jax.block_until_ready(final_state)
+        jax.effects_barrier()  # flush pending async host callbacks
+        progress_state.close()
     return final_state, history
 
 

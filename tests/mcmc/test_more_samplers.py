@@ -1,0 +1,103 @@
+"""Moment recovery for the long-tail samplers: Barker, slice (hyperplane +
+coordinate), elliptical slice, periodic orbital, mGrad, RMHMC."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import blackjax_tpu
+from blackjax_tpu.util import run_inference_algorithm
+
+LOC, SCALE = 0.5, 1.5
+
+
+def logdensity(x):
+    return -0.5 * jnp.sum(((x - LOC) / SCALE) ** 2)
+
+
+def _check_moments(samples, atol_mean=0.25, atol_std=0.45):
+    samples = np.asarray(samples).reshape(-1)
+    assert abs(samples.mean() - LOC) < atol_mean, samples.mean()
+    assert abs(samples.std() - SCALE) < atol_std, samples.std()
+
+
+def test_barker(rng_key):
+    algo = blackjax_tpu.barker(logdensity, step_size=0.8)
+    state = algo.init(jnp.zeros(3))
+    _, (states, infos) = run_inference_algorithm(rng_key, algo, 4000, initial_state=state)
+    _check_moments(states.position[1000:])
+    assert 0.2 < float(np.mean(np.asarray(infos.acceptance_rate))) < 1.0
+
+
+def test_slice_sampling(rng_key):
+    algo = blackjax_tpu.slice_sampling(logdensity)
+    state = algo.init(jnp.zeros(3))
+    _, (states, infos) = run_inference_algorithm(rng_key, algo, 4000, initial_state=state)
+    _check_moments(states.position[500:])
+    assert float(np.mean(np.asarray(infos.is_accepted))) > 0.95
+
+
+def test_slice_stepping_out(rng_key):
+    from blackjax_tpu.mcmc.slice import stepping_out
+
+    algo = blackjax_tpu.slice_sampling(logdensity, interval=stepping_out)
+    state = algo.init(jnp.zeros(3))
+    _, (states, _) = run_inference_algorithm(rng_key, algo, 3000, initial_state=state)
+    _check_moments(states.position[500:])
+
+
+def test_coordinate_slice(rng_key):
+    algo = blackjax_tpu.coordinate_slice(logdensity)
+    state = algo.init(jnp.zeros(3))
+    _, (states, _) = run_inference_algorithm(rng_key, algo, 1500, initial_state=state)
+    _check_moments(states.position[300:])
+
+
+def test_elliptical_slice(rng_key):
+    # target = N(0, prior_cov) * likelihood; use likelihood = N(1, 1) with
+    # prior N(0, 4): posterior precision 1/4+1 = 1.25, mean = 1/1.25 = 0.8
+    loglik = lambda x: -0.5 * jnp.sum((x - 1.0) ** 2)
+    algo = blackjax_tpu.elliptical_slice(loglik, mean=jnp.zeros(2), cov=4.0 * jnp.ones(2))
+    state = algo.init(jnp.zeros(2))
+    _, (states, _) = run_inference_algorithm(rng_key, algo, 4000, initial_state=state)
+    samples = np.asarray(states.position)[500:]
+    np.testing.assert_allclose(samples.mean(0), 0.8 * np.ones(2), atol=0.15)
+    np.testing.assert_allclose(samples.var(0), 0.8 * np.ones(2), rtol=0.3)
+
+
+def test_periodic_orbital(rng_key):
+    algo = blackjax_tpu.orbital_hmc(
+        logdensity, step_size=0.4, inverse_mass_matrix=jnp.ones(3), period=8
+    )
+    state = algo.init(jnp.zeros(3))
+    _, (states, _) = run_inference_algorithm(rng_key, algo, 2000, initial_state=state)
+    # weighted samples: use all positions with their weights
+    positions = np.asarray(states.positions[500:]).reshape(-1, 3)
+    weights = np.asarray(states.weights[500:]).reshape(-1)
+    mean = np.average(positions, axis=0, weights=weights)
+    np.testing.assert_allclose(mean, LOC * np.ones(3), atol=0.3)
+
+
+def test_mgrad_gaussian(rng_key):
+    # latent Gaussian model: prior N(0, C), loglik N(1, 1)
+    C = jnp.array([[1.0, 0.3], [0.3, 1.0]])
+    loglik = lambda x: -0.5 * jnp.sum((x - 1.0) ** 2)
+    algo = blackjax_tpu.mgrad_gaussian(loglik, covariance=C, step_size=1.0)
+    state = algo.init(jnp.zeros(2))
+    _, (states, infos) = run_inference_algorithm(rng_key, algo, 5000, initial_state=state)
+    samples = np.asarray(states.position)[1000:]
+    prec = np.linalg.inv(np.asarray(C)) + np.eye(2)
+    post_mean = np.linalg.solve(prec, np.ones(2))
+    np.testing.assert_allclose(samples.mean(0), post_mean, atol=0.15)
+
+
+def test_rmhmc(rng_key):
+    algo = blackjax_tpu.rmhmc(
+        logdensity,
+        step_size=0.5,
+        mass_matrix=lambda q: jnp.ones(3),
+        num_integration_steps=8,
+    )
+    state = algo.init(jnp.zeros(3))
+    _, (states, _) = run_inference_algorithm(rng_key, algo, 1500, initial_state=state)
+    _check_moments(states.position[300:])

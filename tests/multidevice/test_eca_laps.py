@@ -1,0 +1,124 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh: ECA machinery,
+sharded splitR, ensemble init, and LAPS end-to-end."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+import blackjax_tpu
+from blackjax_tpu.adaptation.laps import laps
+from blackjax_tpu.parallel import eca
+
+NUM_DEVICES = 8
+
+
+@pytest.fixture
+def mesh():
+    devices = jax.devices()
+    if len(devices) < NUM_DEVICES:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(devices[:NUM_DEVICES], ("chains",))
+
+
+def test_ensemble_execute_fn(mesh, rng_key):
+    num_chains = 32
+
+    def sequential_fn(key, x, args):
+        draw = jax.random.normal(key)
+        return draw, None
+
+    out, expectation = eca.ensemble_execute_fn(
+        sequential_fn,
+        rng_key,
+        num_chains,
+        mesh,
+        summary_statistics_fn=lambda y: {"mean": y, "sq": y**2},
+    )
+    assert out.shape == (num_chains,)
+    # psum-averaged expectation must equal the plain average of the outputs
+    np.testing.assert_allclose(float(expectation["mean"]), np.mean(np.asarray(out)), rtol=1e-6)
+
+
+def test_run_eca_with_early_stop(mesh, rng_key):
+    num_chains, dim = 32, 4
+    logdensity = lambda x: -0.5 * jnp.sum(x**2)
+    kernel_impl = blackjax_tpu.mala.build_kernel()
+
+    def kernel(key, state, adaptation_state):
+        return kernel_impl(key, state, logdensity, 0.5)
+
+    def summary_statistics_fn(state, info, key):
+        return {"acc": info.acceptance_rate, "sq": jnp.sum(state.position**2)}
+
+    def adaptation_update(adaptation_state, E):
+        return adaptation_state + 1, {"acc": E["acc"], "sq": E["sq"]}
+
+    from types import SimpleNamespace
+
+    adap = SimpleNamespace(
+        initial_state=jnp.asarray(0),
+        summary_statistics_fn=summary_statistics_fn,
+        update=adaptation_update,
+        while_cond=lambda info, counter: info["acc"] > -1.0,  # never stops early
+    )
+
+    positions = jax.device_put(
+        jax.random.normal(rng_key, (num_chains, dim)),
+        NamedSharding(mesh, PartitionSpec("chains")),
+    )
+    states = jax.jit(
+        jax.vmap(lambda p: blackjax_tpu.mala.init(p, logdensity)),
+        out_shardings=NamedSharding(mesh, PartitionSpec("chains")),
+    )(positions)
+
+    final_state, final_adaptation, info = eca.run_eca(
+        rng_key, states, kernel, adap, 10, num_chains, mesh,
+        superchain_size=4, early_stop=True,
+    )
+    assert final_state.position.shape == (num_chains, dim)
+    assert int(final_adaptation) == 10
+    assert "R_avg" in info and info["acc"].shape == (10,)
+
+
+def test_sharded_splitR_matches_unsharded(mesh, rng_key):
+    from blackjax_tpu.diagnostics import splitR
+    num_chains, dim, superchain = 32, 3, 4
+    positions = jax.random.normal(rng_key, (num_chains, dim)) * jnp.array([1.0, 2.0, 3.0])
+    expected = np.asarray(splitR(positions, num_chains, superchain))
+
+    p = PartitionSpec("chains")
+    sharded = jax.device_put(positions, NamedSharding(mesh, p))
+
+    def f(block):
+        return eca.sharded_splitR(block, num_chains, superchain)
+
+    got = jax.shard_map(f, mesh=mesh, in_specs=(p,), out_specs=PartitionSpec())(sharded)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-5)
+
+
+def test_laps_end_to_end(mesh, rng_key):
+    num_chains, dim = 64, 4
+    variances = jnp.array([1.0, 4.0, 0.25, 2.0])
+    logdensity = lambda x: -0.5 * jnp.sum(x**2 / variances)
+    sample_init = lambda key: 2.0 * jax.random.normal(key, (dim,))
+
+    info, grad_calls, acc_prob, final_state = laps(
+        logdensity,
+        sample_init,
+        dim,
+        num_steps1=100,
+        num_steps2=600,
+        num_chains=num_chains,
+        mesh=mesh,
+        rng_key=rng_key,
+        early_stop=False,
+        superchain_size=1,
+    )
+    assert np.isfinite(np.asarray(final_state.position)).all()
+    # the ensemble at the end of phase 2 should roughly match target moments
+    final_positions = np.asarray(final_state.position)
+    np.testing.assert_allclose(final_positions.mean(0), np.zeros(dim), atol=0.8)
+    # acceptance in phase 2 should be reasonable
+    acc = np.asarray(info["phase_2"]["acc_prob"])
+    assert acc[-1] > 0.4

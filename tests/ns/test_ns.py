@@ -1,0 +1,96 @@
+"""Nested sampling: evidence recovery on an analytically tractable Gaussian
+model, posterior resampling, and the SwiG variant."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import blackjax_tpu
+from blackjax_tpu.ns import utils as ns_utils
+
+# Gaussian prior N(0, sigma_pi^2 I), Gaussian likelihood N(mu, sigma_l^2 I).
+# Analytic evidence: logZ = sum_i log N(mu_i; 0, sigma_pi^2 + sigma_l^2).
+D = 2
+SIGMA_PI, SIGMA_L = 2.0, 0.5
+MU = jnp.array([0.5, -0.3])
+
+
+def logprior(x):
+    return -0.5 * jnp.sum(x**2 / SIGMA_PI**2) - 0.5 * D * jnp.log(
+        2 * jnp.pi * SIGMA_PI**2
+    )
+
+
+def loglik(x):
+    return -0.5 * jnp.sum((x - MU) ** 2 / SIGMA_L**2) - 0.5 * D * jnp.log(
+        2 * jnp.pi * SIGMA_L**2
+    )
+
+
+TRUE_LOGZ = float(
+    -0.5 * jnp.sum(MU**2 / (SIGMA_PI**2 + SIGMA_L**2))
+    - 0.5 * D * jnp.log(2 * jnp.pi * (SIGMA_PI**2 + SIGMA_L**2))
+)
+POST_VAR = 1.0 / (1.0 / SIGMA_PI**2 + 1.0 / SIGMA_L**2)
+POST_MEAN = np.asarray(MU) * POST_VAR / SIGMA_L**2
+
+
+def _run_ns(algo, rng_key, num_live=400, num_steps=1200):
+    init_key, run_key = jax.random.split(rng_key)
+    positions = SIGMA_PI * jax.random.normal(init_key, (num_live, D))
+    state = algo.init(positions, rng_key=init_key)
+
+    step = jax.jit(algo.step)
+    dead = []
+    for i in range(num_steps):
+        run_key, subkey = jax.random.split(run_key)
+        state, info = step(subkey, state)
+        dead.append(info)
+    return state, dead
+
+
+def test_nss_evidence_and_posterior(rng_key):
+    algo = blackjax_tpu.nss(logprior, loglik, num_inner_steps=5, num_delete=20)
+    state, dead = _run_ns(algo, rng_key, num_steps=120)
+
+    # evidence from the on-line integrator (dead + live contributions)
+    logz = float(jnp.logaddexp(state.integrator.logZ, state.integrator.logZ_live))
+    assert abs(logz - TRUE_LOGZ) < 0.35, (logz, TRUE_LOGZ)
+
+    # posterior resampling from the finalised dead set
+    final = ns_utils.finalise(state, dead)
+    samples = ns_utils.sample(rng_key, final, 2000)
+    np.testing.assert_allclose(np.asarray(samples.position).mean(0), POST_MEAN, atol=0.1)
+    eff = float(ns_utils.ess(rng_key, final))
+    assert eff > 50
+
+
+def test_nsswig_runs(rng_key):
+    algo = blackjax_tpu.nsswig(logprior, loglik, num_inner_steps=3, num_delete=10)
+    state, dead = _run_ns(algo, rng_key, num_live=200, num_steps=60)
+    assert np.isfinite(float(state.integrator.logZ))
+    assert float(state.particles.loglikelihood.min()) > -1e10
+
+
+def test_compute_num_live_constant_run():
+    """For a standard single-delete run, the effective live count at every
+    death equals num_live."""
+    from blackjax_tpu.ns.base import NSInfo, StateWithLogLikelihood
+
+    n_live, n_dead = 50, 200
+    rng = np.random.default_rng(0)
+    # births: first n_live at -inf (NaN birth), then each dead spawns one birth
+    deaths = np.sort(rng.normal(size=n_dead))
+    births = np.concatenate([np.full(n_live, np.nan), deaths[: n_dead - n_live]])
+    info = NSInfo(
+        StateWithLogLikelihood(
+            position=jnp.zeros((n_dead, 1)),
+            logdensity=jnp.zeros(n_dead),
+            loglikelihood=jnp.asarray(deaths),
+            loglikelihood_birth=jnp.asarray(births),
+        ),
+        None,
+    )
+    num_live = np.asarray(ns_utils.compute_num_live(info))
+    assert num_live.max() <= n_live + 1
+    assert (num_live[: n_dead - n_live] >= n_live - 1).all()
