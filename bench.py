@@ -18,6 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+# persistent compilation cache: repeat runs skip the multi-minute XLA builds
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
 CACHE_PATH = os.path.join(REPO, ".bench_baseline_cache.json")
 
 # benchmark configuration (scaled down automatically on CPU)

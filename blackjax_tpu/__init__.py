@@ -33,7 +33,12 @@ from blackjax_tpu.mcmc import periodic_orbital as _periodic_orbital
 from blackjax_tpu.mcmc import rmhmc as _rmhmc
 from blackjax_tpu.mcmc import slice as _slice
 from blackjax_tpu.mcmc import ghmc as _ghmc
+from blackjax_tpu.mcmc import gist_step_size as _gist_step_size
+from blackjax_tpu.mcmc import gist_trajectory_length as _gist_trajectory_length
 from blackjax_tpu.mcmc import hmc as _hmc
+from blackjax_tpu.mcmc import laplace_dynamic_hmc as _laplace_dynamic_hmc
+from blackjax_tpu.mcmc import laplace_hmc as _laplace_hmc
+from blackjax_tpu.mcmc import marginal_latent_gaussian as _mlg_unused  # noqa: F401
 from blackjax_tpu.mcmc import mala as _mala
 from blackjax_tpu.mcmc import mclmc as _mclmc
 from blackjax_tpu.mcmc import nuts as _nuts
@@ -44,9 +49,12 @@ from blackjax_tpu.sgmcmc import csgld as _csgld
 from blackjax_tpu.sgmcmc import sghmc as _sghmc
 from blackjax_tpu.sgmcmc import sgld as _sgld
 from blackjax_tpu.sgmcmc import sgnht as _sgnht
+from blackjax_tpu.smc import adaptive_persistent_sampling as _adaptive_persistent
 from blackjax_tpu.smc import adaptive_tempered as _adaptive_tempered
 from blackjax_tpu.smc import inner_kernel_tuning as _inner_kernel_tuning
 from blackjax_tpu.smc import partial_posteriors_path as _partial_posteriors_smc
+from blackjax_tpu.smc import persistent_sampling as _persistent_sampling
+from blackjax_tpu.smc import pretuning as _pretuning
 from blackjax_tpu.smc import tempered as _tempered
 from blackjax_tpu.vi import fullrank_vi as _fullrank_vi
 from blackjax_tpu.vi import meanfield_vi as _meanfield_vi
@@ -155,13 +163,47 @@ coordinate_slice = GenerateSamplingAPI(
 )
 orbital_hmc = generate_top_level_api_from(_periodic_orbital)
 mgrad_gaussian = generate_top_level_api_from(_marginal_latent_gaussian)
+gist_step_size = generate_top_level_api_from(_gist_step_size)
+gist_trajectory_length = generate_top_level_api_from(_gist_trajectory_length)
+
+laplace_hmc = generate_top_level_api_from(_laplace_hmc)
+laplace_mhmc = GenerateSamplingAPI(
+    functools.partial(
+        _laplace_hmc.as_top_level_api, build_proposal=_hmc.multinomial_hmc_proposal
+    ),
+    _laplace_hmc.init,
+    functools.partial(
+        _laplace_hmc.build_kernel, build_proposal=_hmc.multinomial_hmc_proposal
+    ),
+)
+laplace_dhmc = generate_top_level_api_from(_laplace_dynamic_hmc)
+laplace_dmhmc = GenerateSamplingAPI(
+    functools.partial(
+        _laplace_dynamic_hmc.as_top_level_api,
+        build_proposal=_hmc.multinomial_hmc_proposal,
+    ),
+    _laplace_dynamic_hmc.init,
+    functools.partial(
+        _laplace_dynamic_hmc.build_kernel,
+        build_proposal=_hmc.multinomial_hmc_proposal,
+    ),
+)
 
 # --- SMC ------------------------------------------------------------------
 tempered_smc = generate_top_level_api_from(_tempered)
 adaptive_tempered_smc = generate_top_level_api_from(_adaptive_tempered)
 inner_kernel_tuning = generate_top_level_api_from(_inner_kernel_tuning)
 partial_posteriors_smc = generate_top_level_api_from(_partial_posteriors_smc)
-smc_family = [tempered_smc, adaptive_tempered_smc, partial_posteriors_smc]
+persistent_sampling_smc = generate_top_level_api_from(_persistent_sampling)
+adaptive_persistent_sampling_smc = generate_top_level_api_from(_adaptive_persistent)
+pretuning = generate_top_level_api_from(_pretuning)
+smc_family = [
+    tempered_smc,
+    adaptive_tempered_smc,
+    partial_posteriors_smc,
+    persistent_sampling_smc,
+    adaptive_persistent_sampling_smc,
+]
 
 # --- Nested sampling ------------------------------------------------------
 nss = GenerateSamplingAPI(_nss.as_top_level_api, _nss.init, _nss.build_kernel)
@@ -206,6 +248,9 @@ __all__ = [
     "adaptive_tempered_smc",
     "inner_kernel_tuning",
     "partial_posteriors_smc",
+    "persistent_sampling_smc",
+    "adaptive_persistent_sampling_smc",
+    "pretuning",
     "smc_family",
     "nss",
     "nsswig",
@@ -251,6 +296,12 @@ __all__ = [
     "coordinate_slice",
     "orbital_hmc",
     "mgrad_gaussian",
+    "gist_step_size",
+    "gist_trajectory_length",
+    "laplace_hmc",
+    "laplace_mhmc",
+    "laplace_dhmc",
+    "laplace_dmhmc",
     "window_adaptation",
     "dual_averaging_adaptation",
     "chees_adaptation",

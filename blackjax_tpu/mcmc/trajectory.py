@@ -508,25 +508,25 @@ def flattened_nuts(
             sub_proposal = tree_select(at_start, new_proposal, merged_sub)
 
             # -------- checkpointed subtree U-turn test -------------------
+            # all max_depth slots are tested at once (one batched (K, d)
+            # evaluation instead of a sequential fori over tiny dots — the
+            # slot loop was the single largest non-gradient cost at 4k chains)
             idx_min, idx_max = _checkpoint_slots(s.leaf)
             is_even = (s.leaf % 2) == 0
-            row = jax.lax.broadcasted_iota(jnp.int32, s.ckpt_momentum.shape, 0)
+            row = jax.lax.broadcasted_iota(jnp.int32, (max_depth, 1), 0)
             write = is_even & (row == idx_max)
             ckpt_momentum = jnp.where(write, m_new[None, :], s.ckpt_momentum)
             ckpt_momentum_sum = jnp.where(
                 write, sub_momentum_sum[None, :], s.ckpt_momentum_sum
             )
 
-            def check_slot(i, turning):
-                active = (i >= idx_min) & (i <= idx_max)
-                subtree_sum = sub_momentum_sum - ckpt_momentum_sum[i] + ckpt_momentum[i]
-                return turning | (
-                    active & flat_turning(ckpt_momentum[i], m_new, subtree_sum)
-                )
-
-            subtree_turning = jax.lax.fori_loop(
-                0, max_depth, check_slot, _with_vma_of(m_new, False)
+            slot_ids = row[:, 0]
+            active = (slot_ids >= idx_min) & (slot_ids <= idx_max)
+            subtree_sums = sub_momentum_sum[None, :] - ckpt_momentum_sum + ckpt_momentum
+            slot_turning = jax.vmap(flat_turning, in_axes=(0, None, 0))(
+                ckpt_momentum, m_new, subtree_sums
             )
+            subtree_turning = jnp.any(active & slot_turning)
 
             # -------- subtree boundary bookkeeping -----------------------
             leaf = s.leaf + 1

@@ -101,3 +101,21 @@ def test_rmhmc(rng_key):
     state = algo.init(jnp.zeros(3))
     _, (states, _) = run_inference_algorithm(rng_key, algo, 1500, initial_state=state)
     _check_moments(states.position[300:])
+
+
+def test_gist_step_size(rng_key):
+    algo = blackjax_tpu.gist_step_size(
+        logdensity, jnp.ones(3), initial_step_size=0.5, num_integration_steps=5
+    )
+    state = algo.init(jnp.zeros(3))
+    _, (states, infos) = run_inference_algorithm(rng_key, algo, 3000, initial_state=state)
+    _check_moments(states.position[500:])
+    assert float(np.mean(np.asarray(infos.is_accepted))) > 0.3
+
+
+def test_gist_trajectory_length(rng_key):
+    algo = blackjax_tpu.gist_trajectory_length(logdensity, jnp.ones(3), step_size=0.4)
+    state = algo.init(jnp.zeros(3))
+    _, (states, infos) = run_inference_algorithm(rng_key, algo, 3000, initial_state=state)
+    _check_moments(states.position[500:])
+    assert float(np.mean(np.asarray(infos.is_accepted))) > 0.3

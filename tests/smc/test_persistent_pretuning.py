@@ -1,0 +1,140 @@
+"""Persistent sampling and pretuning SMC variants."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import blackjax_tpu
+from blackjax_tpu.smc import persistent_sampling, resampling
+from blackjax_tpu.smc.base import extend_params
+from blackjax_tpu.smc.pretuning import build_pretune, esjd, update_parameter_distribution
+
+
+def _model():
+    logprior = lambda x: -0.5 * jnp.sum(x**2) / 4.0 - jnp.log(2 * jnp.pi * 4.0)
+    loglik = lambda x: -0.5 * jnp.sum((x - 1.0) ** 2 / 0.5) - jnp.log(
+        2 * jnp.pi * 0.5
+    )
+    return logprior, loglik
+
+
+def test_persistent_sampling_runs_and_estimates_Z(rng_key):
+    logprior, loglik = _model()
+    n_schedule = 6
+    schedule = jnp.linspace(1.0 / n_schedule, 1.0, n_schedule)
+    algo = blackjax_tpu.persistent_sampling_smc(
+        logprior,
+        loglik,
+        n_schedule,
+        blackjax_tpu.hmc.build_kernel(),
+        blackjax_tpu.hmc.init,
+        extend_params(
+            {"step_size": 0.3, "inverse_mass_matrix": jnp.eye(2), "num_integration_steps": 8}
+        ),
+        resampling.systematic,
+        num_mcmc_steps=4,
+    )
+    init_key, run_key = jax.random.split(rng_key)
+    particles = 2.0 * jax.random.normal(init_key, (600, 2))
+    state = algo.init(particles)
+
+    step = jax.jit(algo.step)
+    for lam in schedule:
+        run_key, sub = jax.random.split(run_key)
+        state, info = step(sub, state, lam)
+
+    assert int(state.iteration) == n_schedule
+    # true logZ for the gaussian prior/likelihood pair
+    true_logz = float(
+        -0.5 * jnp.sum(jnp.ones(2) ** 2 / (4.0 + 0.5))
+        - jnp.log(2 * jnp.pi * 4.5)
+    )
+    assert abs(float(state.log_Z) - true_logz) < 0.5
+
+    trimmed = persistent_sampling.remove_padding(state)
+    assert trimmed.persistent_log_Z.shape[0] == n_schedule + 1
+
+
+def test_adaptive_persistent_sampling(rng_key):
+    logprior, loglik = _model()
+    algo = blackjax_tpu.adaptive_persistent_sampling_smc(
+        logprior,
+        loglik,
+        8,
+        blackjax_tpu.hmc.build_kernel(),
+        blackjax_tpu.hmc.init,
+        extend_params(
+            {"step_size": 0.3, "inverse_mass_matrix": jnp.eye(2), "num_integration_steps": 8}
+        ),
+        resampling.systematic,
+        target_ess=0.7,
+        num_mcmc_steps=3,
+    )
+    init_key, run_key = jax.random.split(rng_key)
+    state = algo.init(2.0 * jax.random.normal(init_key, (400, 2)))
+    step = jax.jit(algo.step)
+    for i in range(8):
+        run_key, sub = jax.random.split(run_key)
+        state, info = step(sub, state)
+        if float(state.tempering_param) >= 1.0:
+            break
+    assert float(state.tempering_param) > 0.5
+
+
+def test_esjd_and_parameter_distribution_update(rng_key):
+    measure = esjd(jnp.eye(2))
+    prev = jnp.zeros((10, 2))
+    new = jnp.ones((10, 2))
+    vals = measure(prev, new, jnp.ones(10))
+    np.testing.assert_allclose(np.asarray(vals), 2.0 * np.ones(10), rtol=1e-6)
+
+    params, mixing = update_parameter_distribution(
+        rng_key,
+        {"step_size": jnp.linspace(0.1, 1.0, 10)},
+        prev,
+        new,
+        measure,
+        alpha=1.0,
+        sigma_parameters={"step_size": jnp.asarray(0.01)},
+        acceptance_probability=jnp.ones(10),
+    )
+    assert params["step_size"].shape == (10,)
+
+
+def test_pretuning_smc_end_to_end(rng_key):
+    from blackjax_tpu.smc import tempered
+
+    logprior, loglik = _model()
+    n_particles = 200
+    pretune = build_pretune(
+        blackjax_tpu.hmc.init,
+        blackjax_tpu.hmc.build_kernel(),
+        alpha=1.0,
+        sigma_parameters={"step_size": jnp.asarray(0.05)},
+        n_particles=n_particles,
+        
+        positive_parameters=["step_size"],
+    )
+    algo = blackjax_tpu.pretuning(
+        blackjax_tpu.tempered_smc,
+        logprior,
+        loglik,
+        blackjax_tpu.hmc.build_kernel(),
+        blackjax_tpu.hmc.init,
+        resampling.systematic,
+        num_mcmc_steps=3,
+        initial_parameter_value={
+            "step_size": jnp.full((n_particles,), 0.3),
+            "inverse_mass_matrix": jnp.eye(2)[None],
+            "num_integration_steps": jnp.full((n_particles,), 8),
+        },
+        pretune_fn=pretune,
+    )
+    state = algo.init(2.0 * jax.random.normal(rng_key, (n_particles, 2)))
+    step = jax.jit(algo.step)
+    for lam in jnp.linspace(0.25, 1.0, 4):
+        rng_key, sub = jax.random.split(rng_key)
+        state, info = step(sub, state, tempering_param=lam)
+    # the step-size population should have moved
+    assert state.parameter_override["step_size"].shape == (n_particles,)
+    assert np.isfinite(np.asarray(state.parameter_override["step_size"])).all()
