@@ -12,9 +12,11 @@ from typing import Callable
 
 from blackjax_tpu import diagnostics, util
 from blackjax_tpu.adaptation.chees_adaptation import chees_adaptation
+from blackjax_tpu.adaptation.low_rank_adaptation import window_adaptation_low_rank
 from blackjax_tpu.adaptation.mclmc_adaptation import mclmc_find_L_and_step_size
 from blackjax_tpu.adaptation.meads_adaptation import meads_adaptation
 from blackjax_tpu.adaptation.pathfinder_adaptation import pathfinder_adaptation
+from blackjax_tpu.adaptation.staged_adaptation import staged_adaptation
 from blackjax_tpu.adaptation.step_size import dual_averaging_adaptation
 from blackjax_tpu.adaptation.window_adaptation import window_adaptation
 from blackjax_tpu.base import (
@@ -302,7 +304,9 @@ __all__ = [
     "laplace_mhmc",
     "laplace_dhmc",
     "laplace_dmhmc",
+    "staged_adaptation",
     "window_adaptation",
+    "window_adaptation_low_rank",
     "dual_averaging_adaptation",
     "chees_adaptation",
     "meads_adaptation",

@@ -184,7 +184,12 @@ def staged_adaptation(
     pooled acceptance and a metric estimated from the whole ensemble block.
     """
     metric_core = _resolve_metric(metric, metric_options or {})
-    mcmc_kernel = algorithm.build_kernel()
+    build_kernel_kwargs = {}
+    if "integrator" in extra_parameters:
+        # integrator is a build-time choice for HMC-family kernels, not a
+        # per-step parameter
+        build_kernel_kwargs["integrator"] = extra_parameters.pop("integrator")
+    mcmc_kernel = algorithm.build_kernel(**build_kernel_kwargs)
     multi_chain = n_chains > 1
 
     adapt_init, adapt_step, adapt_final = _make_engine(
