@@ -11,9 +11,13 @@ import functools
 from typing import Callable
 
 from blackjax_tpu import diagnostics, util
+from blackjax_tpu.adaptation.adjusted_mclmc_adaptation import (
+    adjusted_mclmc_find_L_and_step_size,
+)
 from blackjax_tpu.adaptation.chees_adaptation import chees_adaptation
 from blackjax_tpu.adaptation.low_rank_adaptation import window_adaptation_low_rank
 from blackjax_tpu.adaptation.mclmc_adaptation import mclmc_find_L_and_step_size
+from blackjax_tpu.adaptation.mclmc_lrd_adaptation import mclmc_lrd_warmup
 from blackjax_tpu.adaptation.meads_adaptation import meads_adaptation
 from blackjax_tpu.adaptation.pathfinder_adaptation import pathfinder_adaptation
 from blackjax_tpu.adaptation.staged_adaptation import staged_adaptation
@@ -305,6 +309,8 @@ __all__ = [
     "laplace_dhmc",
     "laplace_dmhmc",
     "staged_adaptation",
+    "mclmc_lrd_warmup",
+    "adjusted_mclmc_find_L_and_step_size",
     "window_adaptation",
     "window_adaptation_low_rank",
     "dual_averaging_adaptation",
