@@ -7,13 +7,13 @@ and the step size by dual averaging on the harmonic-mean acceptance rate.
 Behavioral parity target: ``blackjax/adaptation/chees_adaptation.py``
 (``base`` :250, criterion/compute_parameters :309-..., public
 ``chees_adaptation`` :574 with opt-in ensemble diagonal mass matrix and
-whitened criterion). The whole warmup is one ``lax.scan`` over steps of a
-``vmap`` over chains — the canonical many-chain TPU workload; on a mesh the
-per-step cross-chain reductions (means over chains) become ``psum``s
+whitened criterion, slow-direction trajectory-length floor :93-236 —
+``(pi/2) sqrt(lambda_max)`` of the whitened ensemble covariance via
+warm-started power iteration, applied at consumption only). The whole
+warmup is one ``lax.scan`` over steps of a ``vmap`` over chains — the
+canonical many-chain TPU workload; on a mesh the per-step cross-chain
+reductions (means over chains) become ``psum``s
 (see ``blackjax_tpu.parallel.eca``).
-
-Not yet ported from the reference: the slow-direction trajectory-length
-floor (power-iteration lambda_max accumulator, reference :93-236).
 """
 from functools import partial
 from typing import Callable, NamedTuple, Optional
@@ -37,6 +37,92 @@ __all__ = ["ChEESAdaptationState", "base", "chees_adaptation"]
 OPTIMAL_TARGET_ACCEPTANCE_RATE = 0.651
 EPS_FLOAT = 1e-10
 LOG_UPDATE_CLIP = 1.0
+
+# --- slow-direction trajectory-length floor --------------------------------
+# A whitened direction with eigenvalue lambda undergoes simple-harmonic HMC
+# motion with period 2 pi sqrt(lambda); a quarter turn is (pi/2) sqrt(lambda).
+# ChEES's own criterion converges to ~pi/2 for the well-conditioned bulk
+# (lambda ~ 1), so flooring the CONSUMED length at
+# (pi/2) sqrt(lambda_max(whitened ensemble covariance)) extends the same
+# quarter-turn rule to the residual slow direction the diagonal metric can't
+# remove. lambda_max is tracked by a few power iterations (O(d^2)) refreshed
+# every _LENGTH_FLOOR_RECOMPUTE_INTERVAL steps, warm-started on the previous
+# eigenvector — never a full eigh per step.
+CHEES_LENGTH_FLOOR_FACTOR: float = np.pi / 2
+_LENGTH_FLOOR_RECOMPUTE_INTERVAL = 32
+_LENGTH_FLOOR_POWER_ITERATIONS = 5
+_LENGTH_FLOOR_FINAL_POWER_ITERATIONS = 20
+# floor lambda_max away from <=0 (rank-deficient / cancellation cases whose
+# sqrt would be NaN)
+_LENGTH_FLOOR_LAMBDA_EPS = 1e-6
+
+
+class _ChEESEigState(NamedTuple):
+    """Warm-startable top eigenpair estimate of the whitened ensemble
+    covariance ``D^{-1/2} C D^{-1/2}`` (D = engaged diagonal IMM)."""
+
+    eigenvector: Array
+    lambda_max: Array
+
+
+def _eig_state_init(num_dim: int) -> _ChEESEigState:
+    return _ChEESEigState(
+        eigenvector=jnp.ones((num_dim,)) / jnp.sqrt(num_dim),
+        lambda_max=jnp.ones(()),
+    )
+
+
+def _power_iteration_lambda_max(matrix, v0, num_iterations):
+    """Warm-started power iteration on a symmetric PSD matrix; returns the
+    Rayleigh-quotient top-eigenvalue estimate and the normalized direction
+    (to warm-start the next refresh)."""
+
+    def body(_, v):
+        v_next = matrix @ v
+        norm = jnp.linalg.norm(v_next)
+        return v_next / jnp.where(norm > 0.0, norm, 1.0)
+
+    v = jax.lax.fori_loop(0, num_iterations, body, v0)
+    return jnp.dot(v, matrix @ v), v
+
+
+def _recompute_eig_state(
+    cov_count, cov_mean, cov_m2, inverse_mass_matrix, eig_state, num_iterations
+):
+    """Whiten the accumulated dense covariance by the engaged diagonal IMM
+    and refresh the top-eigenvalue estimate."""
+    covariance = cov_m2 / jnp.maximum(cov_count - 1.0, 1.0)
+    inv_sqrt_d = 1.0 / jnp.sqrt(inverse_mass_matrix)
+    whitened = covariance * inv_sqrt_d[:, None] * inv_sqrt_d[None, :]
+    lambda_max, eigenvector = _power_iteration_lambda_max(
+        whitened, eig_state.eigenvector, num_iterations
+    )
+    return _ChEESEigState(
+        eigenvector, jnp.maximum(lambda_max, _LENGTH_FLOOR_LAMBDA_EPS)
+    )
+
+
+def _apply_length_floor(
+    trajectory_length,
+    lambda_max,
+    engaged,
+    enable: bool,
+    max_leapfrog_steps: int,
+    step_size,
+):
+    """Floor the CONSUMED trajectory length at ``(pi/2) sqrt(lambda_max)``,
+    capped by the user's leapfrog budget. Pure function of the adapted
+    length — never fed back into the ChEES optimizer state, so the floor is
+    cleanly ablatable via the ``enable`` seam. Returns ``(consumed_length,
+    floor_clipped_by_cap)``."""
+    if not enable:
+        return trajectory_length, jnp.asarray(False)
+    floor_value = jnp.where(
+        engaged, CHEES_LENGTH_FLOOR_FACTOR * jnp.sqrt(lambda_max), 0.0
+    )
+    cap = max_leapfrog_steps * step_size
+    consumed = jnp.minimum(jnp.maximum(trajectory_length, floor_value), cap)
+    return consumed, engaged & (floor_value > cap)
 
 
 class ChEESAdaptationState(NamedTuple):
@@ -201,6 +287,7 @@ def chees_adaptation(
     adaptation_info_fn: Callable = return_all_adapt_info,
     mass_matrix_estimation: Optional[str] = None,
     mass_matrix_window_fraction: float = 0.5,
+    _length_floor: bool = False,
 ) -> AdaptationAlgorithm:
     """Cross-chain ChEES warmup for jittered dynamic HMC.
 
@@ -213,6 +300,12 @@ def chees_adaptation(
     over all chains during the last ``mass_matrix_window_fraction`` of
     warmup, gated on ``max(64, 2 sqrt(d))`` accumulated samples, and whitens
     the ChEES criterion accordingly.
+
+    ``_length_floor=True`` (private seam; requires the diagonal metric)
+    additionally accumulates the dense ensemble covariance and floors the
+    consumed trajectory length at ``(pi/2) sqrt(lambda_max)`` of its
+    whitened form — the quarter-turn rule for the residual slow direction
+    the diagonal metric cannot remove.
     """
     if mass_matrix_estimation not in (None, "diagonal"):
         raise ValueError(
@@ -225,6 +318,11 @@ def chees_adaptation(
             f"{mass_matrix_window_fraction}."
         )
     estimate_mass_matrix = mass_matrix_estimation == "diagonal"
+    if _length_floor and not estimate_mass_matrix:
+        raise ValueError(
+            "_length_floor=True requires mass_matrix_estimation='diagonal' "
+            "(the floor shares the diagonal metric's engagement gate)."
+        )
 
     def run(
         rng_key: PRNGKey,
@@ -275,6 +373,7 @@ def chees_adaptation(
         )
 
         wc_init, wc_update, wc_final = welford_algorithm(is_diagonal_matrix=True)
+        dense_init, dense_update, _ = welford_algorithm(is_diagonal_matrix=False)
         engagement_threshold = max(64, int(2 * np.sqrt(num_dim)))
         window_start = int(num_steps * mass_matrix_window_fraction)
         in_window_flags = jnp.arange(num_steps) >= window_start
@@ -288,10 +387,19 @@ def chees_adaptation(
             return jnp.where(engaged, safe, jnp.ones(num_dim))
 
         def one_step(carry, xs):
-            rng_key, in_window = xs
-            states, adaptation_state, mm_accum = carry
+            rng_key, in_window, step_idx = xs
+            states, adaptation_state, mm_accum, dense_accum, eig_state = carry
 
             imm = current_imm(mm_accum)
+            engaged = mm_accum.sample_size >= engagement_threshold
+            consumed_length, _ = _apply_length_floor(
+                adaptation_state.trajectory_length,
+                eig_state.lambda_max,
+                engaged,
+                _length_floor,
+                max_leapfrog_steps,
+                adaptation_state.step_size,
+            )
             keys = jax.random.split(rng_key, num_chains)
             _step = partial(
                 step_fn,
@@ -299,7 +407,7 @@ def chees_adaptation(
                 step_size=adaptation_state.step_size,
                 inverse_mass_matrix=imm,
                 integration_steps_params=(
-                    adaptation_state.trajectory_length / adaptation_state.step_size,
+                    consumed_length / adaptation_state.step_size,
                 ),
             )
             new_states, info = jax.vmap(_step)(keys, states)
@@ -326,35 +434,102 @@ def chees_adaptation(
             else:
                 new_mm_accum = mm_accum
 
-            return (new_states, new_adaptation_state, new_mm_accum), adaptation_info_fn(
-                new_states, info, new_adaptation_state
-            )
+            if _length_floor:
+                new_dense_accum = jax.lax.cond(
+                    in_window,
+                    lambda acc: dense_update(acc, flat_positions),
+                    lambda acc: acc,
+                    dense_accum,
+                )
+                # refresh lambda_max every INTERVAL steps once engaged
+                refresh_due = (
+                    in_window
+                    & engaged
+                    & (step_idx % _LENGTH_FLOOR_RECOMPUTE_INTERVAL == 0)
+                )
+                new_eig_state = jax.lax.cond(
+                    refresh_due,
+                    lambda es: _recompute_eig_state(
+                        new_dense_accum.sample_size,
+                        new_dense_accum.mean,
+                        new_dense_accum.m2,
+                        imm,
+                        es,
+                        _LENGTH_FLOOR_POWER_ITERATIONS,
+                    ),
+                    lambda es: es,
+                    eig_state,
+                )
+            else:
+                new_dense_accum = dense_accum
+                new_eig_state = eig_state
+
+            return (
+                new_states,
+                new_adaptation_state,
+                new_mm_accum,
+                new_dense_accum,
+                new_eig_state,
+            ), adaptation_info_fn(new_states, info, new_adaptation_state)
 
         init_states = jax.vmap(
             lambda p: dynamic_hmc.init(p, logdensity_fn, init_random_arg)
         )(positions)
         init_adaptation_state = init(init_random_arg, step_size)
         init_mm_accum = wc_init(num_dim) if estimate_mass_matrix else wc_init(1)
+        init_dense_accum = dense_init(num_dim) if _length_floor else dense_init(1)
+        init_eig_state = _eig_state_init(num_dim)
 
         keys = jax.random.split(rng_key, num_steps)
-        (last_states, last_adaptation_state, last_mm_accum), info = jax.lax.scan(
+        (
+            last_states,
+            last_adaptation_state,
+            last_mm_accum,
+            last_dense_accum,
+            last_eig_state,
+        ), info = jax.lax.scan(
             one_step,
-            (init_states, init_adaptation_state, init_mm_accum),
-            (keys, in_window_flags),
+            (
+                init_states,
+                init_adaptation_state,
+                init_mm_accum,
+                init_dense_accum,
+                init_eig_state,
+            ),
+            (keys, in_window_flags, jnp.arange(num_steps)),
         )
 
         final_imm = current_imm(last_mm_accum) if estimate_mass_matrix else jnp.ones(num_dim)
+        final_step_size = jnp.exp(last_adaptation_state.log_step_size_moving_average)
+        final_length = jnp.exp(
+            last_adaptation_state.log_trajectory_length_moving_average
+        )
+        if _length_floor:
+            # a longer final refresh so the returned parameters see a
+            # converged lambda_max (cheap: runs once, outside the scan)
+            final_eig_state = _recompute_eig_state(
+                last_dense_accum.sample_size,
+                last_dense_accum.mean,
+                last_dense_accum.m2,
+                final_imm,
+                last_eig_state,
+                _LENGTH_FLOOR_FINAL_POWER_ITERATIONS,
+            )
+            final_engaged = last_mm_accum.sample_size >= engagement_threshold
+            final_length, _ = _apply_length_floor(
+                final_length,
+                final_eig_state.lambda_max,
+                final_engaged,
+                _length_floor,
+                max_leapfrog_steps,
+                final_step_size,
+            )
         parameters = {
-            "step_size": jnp.exp(last_adaptation_state.log_step_size_moving_average),
+            "step_size": final_step_size,
             "inverse_mass_matrix": final_imm,
             "next_random_arg_fn": next_random_arg_fn,
             "integration_steps_fn": integration_steps_fn,
-            "integration_steps_params": (
-                jnp.exp(
-                    last_adaptation_state.log_trajectory_length_moving_average
-                    - last_adaptation_state.log_step_size_moving_average
-                ),
-            ),
+            "integration_steps_params": (final_length / final_step_size,),
         }
         return AdaptationResults(last_states, parameters), info
 

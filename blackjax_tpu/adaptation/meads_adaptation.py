@@ -8,21 +8,54 @@ positions, and all chains reshuffle across folds every K steps.
 
 Behavioral parity target: ``blackjax/adaptation/meads_adaptation.py``
 (state :31, base :55, ``meads_adaptation`` :316, ``maximum_eigenvalue``
-:790). The opt-in pooled low-rank momentum metric of the reference
-(:323-420) is not yet ported.
+:790, opt-in pooled low-rank momentum metric :323-420 with the
+window-accumulated covariance, the 2d support gate, the epsilon-decouple
+fix [step size never whitened by the low-rank basis] and the eigenvalue
+floor :292-313).
 """
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 from blackjax_tpu.adaptation.base import AdaptationResults, return_all_adapt_info
+from blackjax_tpu.adaptation.metric_buffers import MomentBlock, cgl_update_batch
+from blackjax_tpu.adaptation.metric_estimators import sample_covariance_eigh_low_rank
 from blackjax_tpu.base import AdaptationAlgorithm
 from blackjax_tpu.mcmc import ghmc
+from blackjax_tpu.mcmc.metrics import LowRankInverseMassMatrix
 from blackjax_tpu.types import Array, ArrayLikeTree, PRNGKey
 
 __all__ = ["MEADSAdaptationState", "base", "meads_adaptation", "maximum_eigenvalue"]
+
+# rank-deficient ensembles can give lam ~ 0 (or slightly negative from f32
+# eigh) whose sqrt is NaN in the whitening transforms
+_LRD_EIGENVALUE_FLOOR = 1e-6
+
+
+def _low_rank_apply(element: Array, U: Array, lam_pow: Array) -> Array:
+    """Batched ``element + U @ ((lam_pow - 1) (U^T element))`` over (n, d)
+    rows — the O(dk) low-rank operator shared by the whitening paths."""
+    coeff = element @ U
+    return element + (coeff * (lam_pow - 1.0)) @ U.T
+
+
+def _low_rank_precondition_pos(pos, sigma, U, lam):
+    """``M^{1/2} pos`` for the low-rank metric; reduces to ``pos / sigma``
+    at ``lam == 1`` (bit-for-bit the diagonal path)."""
+    return _low_rank_apply(pos, U, 1.0 / jnp.sqrt(lam)) / sigma
+
+
+def _lrd_diagonal_fallback(flat_positions: Array, k: int):
+    """Pre-window fallback: a single ensemble snapshot is p >> n
+    noise-dominated, so return a PURELY diagonal metric (``lam = 1`` makes
+    the low-rank correction vanish; U's columns multiply a zero coefficient
+    and any orthonormal set works)."""
+    sigma = jnp.std(flat_positions, axis=0)
+    sigma = jnp.where(sigma <= 0.0, 1.0, sigma)
+    d = flat_positions.shape[-1]
+    return sigma, jnp.eye(d, k), jnp.ones((k,))
 
 
 class MEADSAdaptationState(NamedTuple):
@@ -124,10 +157,21 @@ def meads_adaptation(
     step_size_multiplier: float = 0.5,
     damping_slowdown: float = 1.0,
     adaptation_info_fn: Callable = return_all_adapt_info,
+    low_rank_rank: Optional[int] = None,
+    low_rank_window_fraction: float = 0.5,
 ) -> AdaptationAlgorithm:
     """Cross-chain MEADS warmup for GHMC. ``run(rng_key, positions,
     num_steps)`` takes positions with a leading ``(num_chains, ...)`` axis
     and returns tuned ``(step_size, momentum_inverse_scale, alpha, delta)``.
+
+    ``low_rank_rank=k`` (MEADS-LRD, opt-in) replaces the per-fold diagonal
+    momentum scale with ONE rank-k :class:`LowRankInverseMassMatrix` pooled
+    over all chains, estimated from a covariance accumulated over the last
+    ``low_rank_window_fraction`` of warmup (gated on 2d pooled samples; the
+    pre-gate fallback is purely diagonal). The damping heuristic whitens by
+    this shared metric; the step-size heuristic deliberately does NOT (a
+    noisy eigenbasis couples epsilon to whichever direction it currently
+    over-weights and collapses it at high d).
     """
     if num_folds < 1:
         raise ValueError(f"num_folds must be >= 1, got {num_folds}.")
@@ -137,12 +181,45 @@ def meads_adaptation(
         )
     n_per_fold = num_chains // num_folds
 
+    low_rank_k: Optional[int] = None
+    if low_rank_rank is not None:
+        low_rank_k = min(low_rank_rank, num_chains - 1)
+        if low_rank_k < 1:
+            raise ValueError(
+                f"low_rank_rank={low_rank_rank} needs num_chains - 1 >= 1 "
+                f"(got num_chains={num_chains})."
+            )
+        if not 0.0 <= low_rank_window_fraction <= 1.0:
+            raise ValueError(
+                "low_rank_window_fraction must be in [0, 1], got "
+                f"{low_rank_window_fraction}."
+            )
+
     ghmc_kernel = ghmc.build_kernel()
     adapt_init, _ = base(num_folds, step_size_multiplier, damping_slowdown)
     batch_init = jax.vmap(lambda p, r: ghmc.init(p, logdensity_fn, r))
 
-    def one_step(carry, rng_key):
-        states, adaptation_state = carry
+    def _global_lrd(lrd_accum, flat_all_pos, in_window):
+        """Shared global (sigma, U, lam): window-accumulated eigh estimate
+        once 2d pooled samples support it, else the diagonal fallback."""
+        d = flat_all_pos.shape[-1]
+        enough = lrd_accum.count >= 2 * d
+
+        def from_accum(acc):
+            payload = sample_covariance_eigh_low_rank(acc.m2, acc.count, low_rank_k)
+            return payload.sigma, payload.U, payload.lam
+
+        sigma, U, lam = jax.lax.cond(
+            jnp.logical_and(in_window, enough),
+            from_accum,
+            lambda _: _lrd_diagonal_fallback(flat_all_pos, low_rank_k),
+            lrd_accum,
+        )
+        return sigma, U, jnp.maximum(lam, _LRD_EIGENVALUE_FLOOR)
+
+    def one_step(carry, xs):
+        rng_key, in_window = xs
+        states, adaptation_state, lrd_accum = carry
         t = adaptation_state.current_iteration
         fold_to_skip = t % num_folds
 
@@ -169,6 +246,25 @@ def meads_adaptation(
         step_size_rolled = jnp.roll(step_size_own, 1)
         scales_rolled = jax.tree.map(lambda s: jnp.roll(s, 1, axis=0), folded_scales)
 
+        # MEADS-LRD: one shared rank-k metric pooled over ALL chains — a
+        # single fold's n_per_fold snapshot gives step-to-step eigenvector
+        # jitter that destabilizes ghmc's persistent momentum. The step-size
+        # heuristic above deliberately stays on the per-fold diagonal scale
+        # (epsilon-decouple).
+        if low_rank_rank is not None:
+            flat_all_pos = jax.vmap(lambda p: ravel_pytree(p)[0])(states.position)
+            new_lrd_accum = jax.lax.cond(
+                in_window,
+                lambda a: cgl_update_batch(a, flat_all_pos),
+                lambda a: a,
+                lrd_accum,
+            )
+            global_sigma, global_U, global_lam = _global_lrd(
+                new_lrd_accum, flat_all_pos, in_window
+            )
+        else:
+            new_lrd_accum = lrd_accum
+
         def fold_damping(pos_k, eps_k):
             centered = jax.tree.map(lambda p: p - p.mean(axis=0), pos_k)
             gamma = jnp.maximum(
@@ -178,15 +274,32 @@ def meads_adaptation(
             alpha = 1.0 - jnp.exp(-2.0 * eps_k * gamma)
             return alpha, alpha / 2.0
 
-        precond_pos = jax.tree.map(
-            lambda p, s: p / jnp.expand_dims(s, axis=1), folded_pos, folded_scales
-        )
+        if low_rank_rank is not None:
+            # damping whitens by the SAME shared metric ghmc samples with
+            d = flat_all_pos.shape[-1]
+            flat_folded_pos = flat_all_pos.reshape((num_folds, n_per_fold, d))
+            precond_pos = jax.vmap(
+                _low_rank_precondition_pos, in_axes=(0, None, None, None)
+            )(flat_folded_pos, global_sigma, global_U, global_lam)
+        else:
+            precond_pos = jax.tree.map(
+                lambda p, s: p / jnp.expand_dims(s, axis=1), folded_pos, folded_scales
+            )
         alphas, deltas = jax.vmap(fold_damping)(precond_pos, step_size_rolled)
 
         chain_step_sizes = jnp.repeat(step_size_rolled, n_per_fold)
-        chain_scales = jax.tree.map(
-            lambda s: jnp.repeat(s, n_per_fold, axis=0), scales_rolled
-        )
+        if low_rank_rank is not None:
+            # every chain gets the same global metric this step (no rolling:
+            # there is only one metric)
+            chain_momentum_scale = LowRankInverseMassMatrix(
+                sigma=jnp.repeat(global_sigma[None], num_chains, axis=0),
+                U=jnp.repeat(global_U[None], num_chains, axis=0),
+                lam=jnp.repeat(global_lam[None], num_chains, axis=0),
+            )
+        else:
+            chain_momentum_scale = jax.tree.map(
+                lambda s: jnp.repeat(s, n_per_fold, axis=0), scales_rolled
+            )
         chain_alphas = jnp.repeat(alphas, n_per_fold)
         chain_deltas = jnp.repeat(deltas, n_per_fold)
 
@@ -195,7 +308,7 @@ def meads_adaptation(
             states,
             logdensity_fn,
             chain_step_sizes,
-            chain_scales,
+            chain_momentum_scale,
             chain_alphas,
             chain_deltas,
         )
@@ -228,7 +341,7 @@ def meads_adaptation(
                 new_states,
             )
 
-        return (new_states, new_adaptation_state), adaptation_info_fn(
+        return (new_states, new_adaptation_state, new_lrd_accum), adaptation_info_fn(
             new_states, info, new_adaptation_state
         )
 
@@ -237,16 +350,43 @@ def meads_adaptation(
         init_states = batch_init(positions, jax.random.split(key_init, num_chains))
         init_adaptation_state = adapt_init(positions, init_states.logdensity_grad)
 
+        nonlocal low_rank_k
+        if low_rank_rank is not None:
+            flat_init = jax.vmap(lambda p: ravel_pytree(p)[0])(init_states.position)
+            d = flat_init.shape[-1]
+            # rank-d equals the dense metric; clamping keeps the two cond
+            # branches shape-compatible
+            low_rank_k = min(low_rank_k, d)
+            window_start = int(low_rank_window_fraction * num_steps)
+            init_lrd_accum = MomentBlock(
+                jnp.zeros(()), jnp.zeros((d,)), jnp.zeros((d, d))
+            )
+        else:
+            window_start = num_steps
+            init_lrd_accum = MomentBlock(jnp.zeros(()), jnp.zeros(1), jnp.zeros(1))
+        in_window_flags = jnp.arange(num_steps) >= window_start
+
         keys = jax.random.split(key_adapt, num_steps)
-        (last_states, last_adaptation_state), info = jax.lax.scan(
-            one_step, (init_states, init_adaptation_state), keys
+        (last_states, last_adaptation_state, last_lrd_accum), info = jax.lax.scan(
+            one_step,
+            (init_states, init_adaptation_state, init_lrd_accum),
+            (keys, in_window_flags),
         )
+
+        if low_rank_rank is not None:
+            flat_final = jax.vmap(lambda p: ravel_pytree(p)[0])(last_states.position)
+            sigma, U, lam = _global_lrd(
+                last_lrd_accum, flat_final, jnp.asarray(True)
+            )
+            momentum_inverse_scale = LowRankInverseMassMatrix(sigma, U, lam)
+        else:
+            momentum_inverse_scale = jax.tree.map(
+                lambda s: s.mean(axis=0), last_adaptation_state.position_sigma
+            )
 
         parameters = {
             "step_size": last_adaptation_state.step_size.mean(),
-            "momentum_inverse_scale": jax.tree.map(
-                lambda s: s.mean(axis=0), last_adaptation_state.position_sigma
-            ),
+            "momentum_inverse_scale": momentum_inverse_scale,
             "alpha": last_adaptation_state.alpha.mean(),
             "delta": last_adaptation_state.delta.mean(),
         }

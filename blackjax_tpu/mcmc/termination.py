@@ -73,15 +73,17 @@ def iterative_uturn(is_turning):
         ckpt_r, ckpt_s, idx_min, idx_max = state
         max_depth = ckpt_r.shape[0]
 
-        # evaluate every slot at once (one batched (K, d) computation
-        # instead of a sequential loop over tiny dot products)
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (max_depth, 1), 0)[:, 0]
-        active = (slot_ids >= idx_min) & (slot_ids <= idx_max)
-        subtree_sums = r_sum[None, :] - ckpt_s + ckpt_r
-        slot_turning = jax.vmap(is_turning, in_axes=(0, None, 0))(
-            ckpt_r, r, subtree_sums
-        )
-        return jnp.any(active & slot_turning)
+        # sequential slot loop: at 4k vmapped chains the batched (K, d)
+        # variant materializes (chains, K, d) intermediates in the while
+        # body and ~halves throughput (HBM traffic), so keep the fori
+        def check_slot(i, turning):
+            active = (i >= idx_min) & (i <= idx_max)
+            subtree_sum = r_sum - ckpt_s[i] + ckpt_r[i]
+            slot_turning = is_turning(ckpt_r[i], r, subtree_sum)
+            return turning | (active & slot_turning)
+
+        # data-derived False so the carry type matches under shard_map VMA
+        return jax.lax.fori_loop(0, max_depth, check_slot, (r[0] * 0) > 0)
 
     return new_state, update, is_criterion_met
 

@@ -508,9 +508,10 @@ def flattened_nuts(
             sub_proposal = tree_select(at_start, new_proposal, merged_sub)
 
             # -------- checkpointed subtree U-turn test -------------------
-            # all max_depth slots are tested at once (one batched (K, d)
-            # evaluation instead of a sequential fori over tiny dots — the
-            # slot loop was the single largest non-gradient cost at 4k chains)
+            # sequential fori over the K slots: the batched (K, d) variant
+            # materializes (chains, K, d) intermediates inside the while
+            # body at 4k vmapped chains and ~halves throughput (HBM
+            # traffic), so the tiny sequential dots win on TPU
             idx_min, idx_max = _checkpoint_slots(s.leaf)
             is_even = (s.leaf % 2) == 0
             row = jax.lax.broadcasted_iota(jnp.int32, (max_depth, 1), 0)
@@ -520,13 +521,16 @@ def flattened_nuts(
                 write, sub_momentum_sum[None, :], s.ckpt_momentum_sum
             )
 
-            slot_ids = row[:, 0]
-            active = (slot_ids >= idx_min) & (slot_ids <= idx_max)
-            subtree_sums = sub_momentum_sum[None, :] - ckpt_momentum_sum + ckpt_momentum
-            slot_turning = jax.vmap(flat_turning, in_axes=(0, None, 0))(
-                ckpt_momentum, m_new, subtree_sums
+            def check_slot(i, turning):
+                active = (i >= idx_min) & (i <= idx_max)
+                subtree_sum = sub_momentum_sum - ckpt_momentum_sum[i] + ckpt_momentum[i]
+                return turning | (
+                    active & flat_turning(ckpt_momentum[i], m_new, subtree_sum)
+                )
+
+            subtree_turning = jax.lax.fori_loop(
+                0, max_depth, check_slot, _with_vma_of(m_new, False)
             )
-            subtree_turning = jnp.any(active & slot_turning)
 
             # -------- subtree boundary bookkeeping -----------------------
             leaf = s.leaf + 1
