@@ -150,13 +150,47 @@ def build_schedule(
     return jnp.array(schedule)
 
 
-def _resolve_metric(metric, metric_options) -> MetricCore:
+def _resolve_metric(
+    metric, metric_options, *, max_grad_budget=None, n_chains=1, schedule_fn=None
+) -> tuple[MetricCore, Callable]:
+    """Resolve ``metric`` to a core plus the schedule to use. ``"auto"``
+    builds the meta-adaptation controller (multi-chain variant when
+    n_chains > 1) and defaults the schedule to the growing-window one —
+    ONLY when the caller did not pass a schedule (None sentinel, so an
+    explicit ``schedule_fn=build_schedule`` is preserved)."""
+    if metric == "auto":
+        if max_grad_budget is None:
+            raise ValueError(
+                "staged_adaptation: max_grad_budget is required when "
+                "metric='auto'; e.g. staged_adaptation(nuts, logdensity_fn, "
+                "metric='auto', max_grad_budget=50_000)."
+            )
+        from blackjax_tpu.adaptation.meta import (
+            build_meta_adaptation_core,
+            build_multi_chain_meta_core,
+        )
+
+        if n_chains > 1:
+            core = build_multi_chain_meta_core(
+                max_grad_budget, n_chains, **metric_options
+            )
+        else:
+            core = build_meta_adaptation_core(max_grad_budget, **metric_options)
+        if schedule_fn is None:
+            from blackjax_tpu.adaptation.low_rank_adaptation import (
+                build_growing_window_schedule,
+            )
+
+            schedule_fn = build_growing_window_schedule
+        return core, schedule_fn
+
+    resolved_schedule = build_schedule if schedule_fn is None else schedule_fn
     if isinstance(metric, MetricCore):
-        return metric
+        return metric, resolved_schedule
     if isinstance(metric, MetricRecipe):
-        return metric.build_core(**metric_options)
+        return metric.build_core(**metric_options), resolved_schedule
     if isinstance(metric, str):
-        return lookup_recipe(metric).build_core(**metric_options)
+        return lookup_recipe(metric).build_core(**metric_options), resolved_schedule
     raise ValueError(
         f"metric must be a recipe name, MetricRecipe or MetricCore; got {metric!r}"
     )
@@ -168,12 +202,13 @@ def staged_adaptation(
     *,
     metric: Union[str, MetricRecipe, MetricCore] = "welford_diag",
     metric_options: Optional[dict] = None,
-    schedule_fn: Callable = build_schedule,
+    schedule_fn: Optional[Callable] = None,
     initial_step_size: float = 1.0,
     target_acceptance_rate: float = 0.80,
     initial_metric_state=None,
     adaptation_info_fn: Callable = return_all_adapt_info,
     n_chains: int = 1,
+    max_grad_budget: Optional[int] = None,
     **extra_parameters,
 ) -> AdaptationAlgorithm:
     """Run the staged warmup for any HMC-family ``algorithm`` (a module-like
@@ -182,8 +217,22 @@ def staged_adaptation(
     When ``n_chains > 1``, ``run`` expects ``position`` with a leading
     ``(n_chains, ...)`` axis; chains run vmapped at one shared step size with
     pooled acceptance and a metric estimated from the whole ensemble block.
+
+    ``metric="auto"`` (experimental) activates the meta-adaptation
+    controller (:mod:`blackjax_tpu.adaptation.meta`): diagonal that
+    auto-escalates to the Fisher low-rank metric when the window signals
+    support it. Requires ``max_grad_budget``; defaults the schedule to the
+    growing-window one unless an explicit ``schedule_fn`` is given. Read the
+    decision afterwards with ``extract_meta_verdict`` /
+    ``extract_multi_chain_verdict``.
     """
-    metric_core = _resolve_metric(metric, metric_options or {})
+    metric_core, schedule_fn = _resolve_metric(
+        metric,
+        metric_options or {},
+        max_grad_budget=max_grad_budget,
+        n_chains=n_chains,
+        schedule_fn=schedule_fn,
+    )
     build_kernel_kwargs = {}
     if "integrator" in extra_parameters:
         # integrator is a build-time choice for HMC-family kernels, not a
