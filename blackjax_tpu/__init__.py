@@ -72,6 +72,28 @@ from blackjax_tpu.vi import svgd as _svgd
 __version__ = "0.1.0"
 
 
+def _canonicalize_init(init: Callable) -> Callable:
+    """Convert the user's position leaves to committed arrays before ``init``
+    runs. Weak-typed Python scalars (``init(1.0, ...)``) would otherwise give
+    the first jitted ``step`` call a different signature than every later
+    one — a silent extra XLA compile per chain start (caught by
+    tests/test_compilation.py)."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    def strengthen(x):
+        a = _jnp.asarray(x)
+        # astype with an explicit dtype drops the weak-type flag
+        return a.astype(a.dtype)
+
+    @functools.wraps(init)
+    def wrapped(position, *args, **kwargs):
+        position = _jax.tree.map(strengthen, position)
+        return init(position, *args, **kwargs)
+
+    return wrapped
+
+
 @dataclasses.dataclass
 class GenerateSamplingAPI:
     """Callable wrapper exposing an algorithm module's full surface."""
@@ -79,6 +101,9 @@ class GenerateSamplingAPI:
     differentiable: Callable
     init: Callable
     build_kernel: Callable
+
+    def __post_init__(self):
+        self.init = _canonicalize_init(self.init)
 
     def __call__(self, *args, **kwargs) -> SamplingAlgorithm:
         return self.differentiable(*args, **kwargs)

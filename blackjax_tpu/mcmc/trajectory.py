@@ -514,6 +514,10 @@ def flattened_nuts(
             # traffic), so the tiny sequential dots win on TPU
             idx_min, idx_max = _checkpoint_slots(s.leaf)
             is_even = (s.leaf % 2) == 0
+            # masked (K, d) select write: a single-row dynamic_update_slice
+            # with a traced index faults the TPU runtime inside the vmapped
+            # while body (measured: reproducible device error at 4k chains),
+            # so keep the branch-free masked store
             row = jax.lax.broadcasted_iota(jnp.int32, (max_depth, 1), 0)
             write = is_even & (row == idx_max)
             ckpt_momentum = jnp.where(write, m_new[None, :], s.ckpt_momentum)

@@ -1,0 +1,104 @@
+"""The logdensity function must trace a bounded number of times — JIT
+compilation dominates wall time in many settings, and internal refactors
+must not silently trigger retraces.
+
+Parity model: reference ``tests/test_compilation.py`` (chex
+``assert_max_traces`` pinned at 2 for init+kernel, 3 when a warmup kernel is
+also built).
+"""
+import chex
+import jax
+import jax.numpy as jnp
+import jax.scipy as jscipy
+
+import blackjax_tpu
+from blackjax_tpu.mcmc.hmc import multinomial_hmc_proposal
+
+
+def _run_steps(step, state, rng_key, n=10):
+    for i in range(n):
+        state, _ = step(jax.random.fold_in(rng_key, i), state)
+    return state
+
+
+def test_hmc_traces_twice():
+    """init traces once, the jitted kernel once more."""
+
+    @chex.assert_max_traces(n=2)
+    def logdensity_fn(x):
+        return jscipy.stats.norm.logpdf(x)
+
+    chex.clear_trace_counter()
+    state = blackjax_tpu.hmc.init(1.0, logdensity_fn)
+    kernel = blackjax_tpu.hmc(
+        logdensity_fn,
+        step_size=1e-2,
+        inverse_mass_matrix=jnp.array([1.0]),
+        num_integration_steps=10,
+    )
+    _run_steps(jax.jit(kernel.step), state, jax.random.key(0))
+
+
+def test_nuts_traces_twice():
+    @chex.assert_max_traces(n=2)
+    def logdensity_fn(x):
+        return jscipy.stats.norm.logpdf(x)
+
+    chex.clear_trace_counter()
+    state = blackjax_tpu.nuts.init(1.0, logdensity_fn)
+    kernel = blackjax_tpu.nuts(
+        logdensity_fn, step_size=1e-2, inverse_mass_matrix=jnp.array([1.0])
+    )
+    _run_steps(jax.jit(kernel.step), state, jax.random.key(0))
+
+
+def test_multinomial_hmc_traces_twice():
+    @chex.assert_max_traces(n=2)
+    def logdensity_fn(x):
+        return jscipy.stats.norm.logpdf(x)
+
+    chex.clear_trace_counter()
+    state = blackjax_tpu.hmc.init(1.0, logdensity_fn)
+    kernel = blackjax_tpu.hmc(
+        logdensity_fn,
+        step_size=1e-2,
+        inverse_mass_matrix=jnp.array([1.0]),
+        num_integration_steps=10,
+        build_proposal=multinomial_hmc_proposal,
+    )
+    _run_steps(jax.jit(kernel.step), state, jax.random.key(0))
+
+
+def test_hmc_warmup_traces_three_times():
+    """init + warmup kernel + post-warmup sampling kernel."""
+
+    @chex.assert_max_traces(n=3)
+    def logdensity_fn(x):
+        return jscipy.stats.norm.logpdf(x)
+
+    chex.clear_trace_counter()
+    rng_key = jax.random.key(0)
+    warmup = blackjax_tpu.window_adaptation(
+        blackjax_tpu.hmc,
+        logdensity_fn,
+        target_acceptance_rate=0.8,
+        num_integration_steps=10,
+    )
+    (state, parameters), _ = warmup.run(rng_key, 1.0, num_steps=100)
+    step = jax.jit(blackjax_tpu.hmc(logdensity_fn, **parameters).step)
+    _run_steps(step, state, rng_key)
+
+
+def test_nuts_warmup_traces_three_times():
+    @chex.assert_max_traces(n=3)
+    def logdensity_fn(x):
+        return jscipy.stats.norm.logpdf(x)
+
+    chex.clear_trace_counter()
+    rng_key = jax.random.key(0)
+    warmup = blackjax_tpu.window_adaptation(
+        blackjax_tpu.nuts, logdensity_fn, target_acceptance_rate=0.8
+    )
+    (state, parameters), _ = warmup.run(rng_key, 1.0, num_steps=100)
+    step = jax.jit(blackjax_tpu.nuts(logdensity_fn, **parameters).step)
+    _run_steps(step, state, rng_key)
