@@ -11,6 +11,10 @@ import functools
 from typing import Callable
 
 from blackjax_tpu import diagnostics, util
+from blackjax_tpu.diagnostics import effective_sample_size as ess
+from blackjax_tpu.diagnostics import ess_bulk, ess_tail, pareto_khat, rhat
+from blackjax_tpu.optimizers import dual_averaging, lbfgs
+from blackjax_tpu.progress_bar import progress_bar
 from blackjax_tpu.adaptation.adjusted_mclmc_adaptation import (
     adjusted_mclmc_find_L_and_step_size,
 )
@@ -50,7 +54,6 @@ from blackjax_tpu.mcmc import mclmc as _mclmc
 from blackjax_tpu.mcmc import nuts as _nuts
 from blackjax_tpu.mcmc import random_walk
 from blackjax_tpu.ns import nss as _nss
-from blackjax_tpu.optimizers import dual_averaging
 from blackjax_tpu.sgmcmc import csgld as _csgld
 from blackjax_tpu.sgmcmc import sghmc as _sghmc
 from blackjax_tpu.sgmcmc import sgld as _sgld
@@ -302,6 +305,13 @@ __all__ = [
     "AdaptationAlgorithm",
     "build_sampling_algorithm",
     "diagnostics",
+    "ess",
+    "ess_bulk",
+    "ess_tail",
+    "pareto_khat",
+    "rhat",
+    "lbfgs",
+    "progress_bar",
     "util",
     "dual_averaging",
     "hmc",

@@ -160,7 +160,12 @@ def extract_multi_chain_verdict(
     collinearity = float(np.asarray(final_state.chain_collinearity))
     unimodal = bool(np.asarray(final_state.unimodality_passed))
     deferred = bool(np.asarray(final_state.deferred_to_ensemble))
-    n_chains = final_state.draws_buffer.shape[0]
+    # the default trace-slimming info fn strips the buffers; tolerate that
+    n_chains = (
+        final_state.draws_buffer.shape[0]
+        if final_state.draws_buffer is not None
+        else -1
+    )
 
     route = _route_of(c["has_esc"], c["r2"])
     collinearity_passed = (not np.isnan(collinearity)) and (

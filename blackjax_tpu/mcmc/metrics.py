@@ -38,12 +38,56 @@ __all__ = [
 class Metric(NamedTuple):
     """The metric contract: momentum sampling, kinetic energy, the
     generalized U-turn criterion, and (inverse-)square-root mass-matrix
-    scaling (used by GHMC and Barker)."""
+    scaling (used by GHMC and Barker).
+
+    ``check_turning_batched`` (optional; None for position-dependent
+    metrics) evaluates the U-turn criterion against EVERY checkpoint slot at
+    once via the distributive matvec decomposition — the flattened NUTS
+    engine's hot path. Its signature is ``(ckpt_momentum (k, d),
+    ckpt_momentum_sum (k, d), momentum_right (d,), momentum_sum (d,),
+    active (k,)) -> bool``. Algebraically identical to looping
+    ``check_turning`` over the slots, but the summation order differs, so it
+    is not bit-identical at the <=0 decision boundary.
+    """
 
     sample_momentum: Callable[[PRNGKey, ArrayLikeTree], ArrayTree]
     kinetic_energy: Callable
     check_turning: Callable
     scale: Callable
+    check_turning_batched: Optional[Callable] = None
+
+
+def _batched_turning_from_apply(inverse_mass_times_row: Callable) -> Callable:
+    """Build ``check_turning_batched`` from a rowwise symmetric
+    ``M^{-1}``-apply (``(k, d) -> (k, d)``, also accepting ``(d,)``).
+
+    For slot i the criterion tests ``rho_i = t - Ssum_i + R_i/2`` with
+    ``t = S - m/2`` against the endpoint velocities. Expanding the dots
+    turns the per-slot loop into matvecs and rowwise reductions — reads of
+    the (k, d) checkpoint buffers feeding reductions, with NO (k, d)
+    intermediate ever written back (the thing the TPU while-body cannot
+    afford at thousands of vmapped chains).
+    """
+
+    def check(ckpt_momentum, ckpt_momentum_sum, momentum_right, momentum_sum, active):
+        m = momentum_right
+        t = momentum_sum - 0.5 * m
+        w = inverse_mass_times_row(m)  # M^{-1} m, (d,)
+        u = inverse_mass_times_row(t)  # M^{-1} t, (d,)
+
+        turn_right = (
+            jnp.dot(w, t) - ckpt_momentum_sum @ w + 0.5 * (ckpt_momentum @ w)
+        )
+        V = inverse_mass_times_row(ckpt_momentum)  # rowwise M^{-1} R, (k, d)
+        turn_left = (
+            ckpt_momentum @ u
+            - jnp.sum(V * ckpt_momentum_sum, axis=-1)
+            + 0.5 * jnp.sum(V * ckpt_momentum, axis=-1)
+        )
+        slot_turning = (turn_left <= 0) | (turn_right <= 0)
+        return jnp.any(active & slot_turning)
+
+    return check
 
 
 class LowRankInverseMassMatrix(NamedTuple):
@@ -159,7 +203,18 @@ def gaussian_euclidean(inverse_mass_matrix: Array) -> Metric:
             factor = factor.T
         return unravel(linear_map(factor, e))
 
-    return Metric(sample_momentum, kinetic_energy, check_turning, scale)
+    if jnp.ndim(inverse_mass_matrix) == 1:
+        _apply_row = lambda x: inverse_mass_matrix * x  # broadcasts over rows
+    else:
+        _apply_row = lambda x: x @ inverse_mass_matrix  # symmetric dense
+
+    return Metric(
+        sample_momentum,
+        kinetic_energy,
+        check_turning,
+        scale,
+        _batched_turning_from_apply(_apply_row),
+    )
 
 
 def gaussian_euclidean_low_rank(sigma: Array, U: Array, lam: Array) -> Metric:
@@ -229,7 +284,19 @@ def gaussian_euclidean_low_rank(sigma: Array, U: Array, lam: Array) -> Metric:
             )
         return unravel(scaled)
 
-    return Metric(sample_momentum, kinetic_energy, check_turning, scale)
+    def _apply_row(x):
+        # M^{-1} x rowwise in O(dk): sigma * (I + U(Lam-I)U^T) (sigma * x),
+        # written row-major (x may be (k, d) or (d,))
+        z = sigma * x
+        return sigma * (z + ((z @ U) * (lam - 1.0)) @ U.T)
+
+    return Metric(
+        sample_momentum,
+        kinetic_energy,
+        check_turning,
+        scale,
+        _batched_turning_from_apply(_apply_row),
+    )
 
 
 def gaussian_riemannian(mass_matrix_fn: Callable) -> Metric:

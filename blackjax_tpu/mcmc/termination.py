@@ -73,17 +73,17 @@ def iterative_uturn(is_turning):
         ckpt_r, ckpt_s, idx_min, idx_max = state
         max_depth = ckpt_r.shape[0]
 
-        # sequential slot loop: at 4k vmapped chains the batched (K, d)
-        # variant materializes (chains, K, d) intermediates in the while
-        # body and ~halves throughput (HBM traffic), so keep the fori
-        def check_slot(i, turning):
+        # statically unrolled slot checks: literal indices are static slices
+        # and the whole check fuses into one straight-line kernel (both a
+        # lax.fori and a batched (K, d) rewrite measured ~2x slower
+        # whole-kernel at 4k vmapped chains). Initialized from a
+        # data-derived False so the value type matches under shard_map VMA.
+        turning = (r[0] * 0) > 0
+        for i in range(max_depth):
             active = (i >= idx_min) & (i <= idx_max)
             subtree_sum = r_sum - ckpt_s[i] + ckpt_r[i]
-            slot_turning = is_turning(ckpt_r[i], r, subtree_sum)
-            return turning | (active & slot_turning)
-
-        # data-derived False so the carry type matches under shard_map VMA
-        return jax.lax.fori_loop(0, max_depth, check_slot, (r[0] * 0) > 0)
+            turning = turning | (active & is_turning(ckpt_r[i], r, subtree_sum))
+        return turning
 
     return new_state, update, is_criterion_met
 

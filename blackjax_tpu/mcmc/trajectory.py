@@ -445,6 +445,7 @@ def flattened_nuts(
     uturn_check_fn: Callable,
     max_num_expansions: int = 10,
     divergence_threshold: float = 1000.0,
+    batched_uturn_check_fn: Callable = None,
 ) -> Callable:
     """Build the flattened single-loop NUTS proposal engine.
 
@@ -508,10 +509,6 @@ def flattened_nuts(
             sub_proposal = tree_select(at_start, new_proposal, merged_sub)
 
             # -------- checkpointed subtree U-turn test -------------------
-            # sequential fori over the K slots: the batched (K, d) variant
-            # materializes (chains, K, d) intermediates inside the while
-            # body at 4k vmapped chains and ~halves throughput (HBM
-            # traffic), so the tiny sequential dots win on TPU
             idx_min, idx_max = _checkpoint_slots(s.leaf)
             is_even = (s.leaf % 2) == 0
             # masked (K, d) select write: a single-row dynamic_update_slice
@@ -525,16 +522,38 @@ def flattened_nuts(
                 write, sub_momentum_sum[None, :], s.ckpt_momentum_sum
             )
 
-            def check_slot(i, turning):
-                active = (i >= idx_min) & (i <= idx_max)
-                subtree_sum = sub_momentum_sum - ckpt_momentum_sum[i] + ckpt_momentum[i]
-                return turning | (
-                    active & flat_turning(ckpt_momentum[i], m_new, subtree_sum)
+            if batched_uturn_check_fn is not None:
+                # distributive matvec form (opt-in): reads of the (K, d)
+                # buffers feed reductions directly. NOTE: measured SLOWER
+                # than the unrolled path below at 4k vmapped chains (the
+                # batched layouts force per-iteration relayout copies of the
+                # (chains, K, d) buffers); kept for metrics whose rowwise
+                # M^{-1} apply is expensive enough to amortize.
+                active = (row[:, 0] >= idx_min) & (row[:, 0] <= idx_max)
+                subtree_turning = batched_uturn_check_fn(
+                    ckpt_momentum,
+                    ckpt_momentum_sum,
+                    m_new,
+                    sub_momentum_sum,
+                    active,
                 )
-
-            subtree_turning = jax.lax.fori_loop(
-                0, max_depth, check_slot, _with_vma_of(m_new, False)
-            )
+            else:
+                # statically unrolled slot checks: literal row indices are
+                # static slices (no gather) and the K independent checks
+                # become one fused straight-line kernel instead of K
+                # sequential latency-bound while iterations (a lax.fori here
+                # measured ~2.2x slower whole-kernel at 4k chains). The OR
+                # accumulation order matches the fori, so results stay
+                # bit-identical to the nested reference engine.
+                subtree_turning = _with_vma_of(m_new, False)
+                for i in range(max_depth):
+                    active = (i >= idx_min) & (i <= idx_max)
+                    subtree_sum = (
+                        sub_momentum_sum - ckpt_momentum_sum[i] + ckpt_momentum[i]
+                    )
+                    subtree_turning = subtree_turning | (
+                        active & flat_turning(ckpt_momentum[i], m_new, subtree_sum)
+                    )
 
             # -------- subtree boundary bookkeeping -----------------------
             leaf = s.leaf + 1

@@ -15,11 +15,17 @@ does not stall the device pipeline), and
 """
 import os
 import threading
+from contextlib import contextmanager
 from typing import Callable, Optional
 
 import jax
 
-__all__ = ["ProgressState", "progress_bar_scan", "progress_bar_factory"]
+__all__ = [
+    "ProgressState",
+    "progress_bar",
+    "progress_bar_scan",
+    "progress_bar_factory",
+]
 
 
 class ProgressState:
@@ -127,3 +133,81 @@ def progress_bar_scan(
     lead with the step index."""
     wrap_body, _ = progress_bar_factory(num_steps, print_rate, output_file)
     return wrap_body
+
+
+@contextmanager
+def progress_bar(label: str = "blackjax_tpu", print_rate=None, output_file=None):
+    """Add a progress bar to any sampling call without touching its code.
+
+    Behavioral parity target: ``blackjax/progress_bar.py:210`` — the
+    reference delegates the ``lax.scan`` interception to the optional
+    ``jaxtap`` package; here the outermost-scan patch is implemented
+    directly (no extra dependency): for the duration of the ``with`` block,
+    ``jax.lax.scan`` threads an UNBATCHED int32 step counter through the
+    outermost scan's carry (the counter depends only on itself, so it stays
+    unbatched under ``vmap`` — the host callback fires once per step
+    regardless of chain count) and posts progress via :class:`ProgressState`
+    (atomic ``output_file`` writes readable with
+    ``python -m blackjax_tpu.progress_reader <path>``).
+
+    Caveats (same boundaries as the reference): the patch is process-global
+    for the block's duration; functions COMPILED before entering the context
+    keep the unpatched scan baked in (call ``jax.clear_caches()`` first);
+    an earlier ``from jax.lax import scan`` alias bypasses the patch; nested
+    scans inside the instrumented body are untouched.
+    """
+    original_scan = jax.lax.scan
+    guard = threading.local()
+    holder = {"state": None}
+
+    def patched_scan(f, init, xs=None, length=None, **kwargs):
+        import jax.numpy as jnp
+
+        if getattr(guard, "depth", 0) > 0:
+            return original_scan(f, init, xs, length=length, **kwargs)
+        if length is not None:
+            num_steps = int(length)
+        else:
+            leaves = jax.tree.leaves(xs)
+            if not leaves:
+                return original_scan(f, init, xs, length=length, **kwargs)
+            num_steps = int(leaves[0].shape[0])
+
+        if holder["state"] is None:
+            holder["state"] = ProgressState(num_steps, output_file)
+        state = holder["state"]
+        state.num_steps = num_steps  # later phases may have a new length
+        rate = print_rate if print_rate is not None else max(1, num_steps // 20)
+
+        def _host_update(step):
+            state.update(int(step) + 1)
+
+        def body(carry, x):
+            step, real = carry
+            should_report = (step % rate == 0) | (step == num_steps - 1)
+            jax.lax.cond(
+                should_report,
+                lambda i: jax.debug.callback(_host_update, i, ordered=False),
+                lambda i: None,
+                step,
+            )
+            real, y = f(real, x)
+            return (step + jnp.int32(1), real), y
+
+        guard.depth = 1
+        try:
+            (_, final), ys = original_scan(
+                body, (jnp.int32(0), init), xs, length=length, **kwargs
+            )
+        finally:
+            guard.depth = 0
+        return final, ys
+
+    jax.lax.scan = patched_scan
+    try:
+        yield
+    finally:
+        jax.lax.scan = original_scan
+        jax.effects_barrier()
+        if holder["state"] is not None:
+            holder["state"].close()

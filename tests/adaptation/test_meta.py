@@ -306,3 +306,37 @@ def test_staged_adaptation_metric_auto(rng_key):
     )
     verdict = extract_meta_verdict(final_imm_state, 16_000, 500)
     assert verdict.route in ("diagonal", "low_rank")
+
+
+def test_staged_adaptation_metric_auto_multichain(rng_key):
+    """metric='auto' with n_chains > 1 routes to the multi-chain core: the
+    vmapped engine feeds (n_chains, d) blocks into the per-chain buffers."""
+    from blackjax_tpu.adaptation.low_rank_adaptation import (
+        _default_low_rank_adaptation_info_fn,
+    )
+
+    d, n_chains = 4, 8
+    v = jnp.ones(d) / 2.0
+    cov = jnp.eye(d) + 12.0 * jnp.outer(v, v)
+    prec = jnp.linalg.inv(cov)
+    logdensity = lambda x: -0.5 * x @ prec @ x
+
+    warmup = blackjax_tpu.staged_adaptation(
+        blackjax_tpu.nuts,
+        logdensity,
+        metric="auto",
+        max_grad_budget=48_000,
+        n_chains=n_chains,
+        max_num_doublings=5,
+        adaptation_info_fn=_default_low_rank_adaptation_info_fn,
+    )
+    init_positions = jax.random.normal(rng_key, (n_chains, d)) * 2.0
+    (state, params), info = warmup.run(rng_key, init_positions, num_steps=300)
+    assert 0.005 < float(params["step_size"]) < 10.0
+    imm = params["inverse_mass_matrix"]
+    assert isinstance(imm, LowRankInverseMassMatrix)
+    final = jax.tree.map(lambda x: x[-1], info.adaptation_state.imm_state)
+    verdict = extract_multi_chain_verdict(final, 48_000, 300)
+    assert verdict.route in ("diagonal", "low_rank", "reparam_suggested")
+    # buffers are stripped by the slimming info fn; n_chains falls back
+    assert verdict.flags["n_chains"] in (n_chains, -1)

@@ -66,7 +66,14 @@ def _logdensity(x):
 
 def test_flattened_matches_nested_engine(rng_key):
     imm = jnp.ones(4)
-    flat = jax.jit(nuts.build_kernel(engine="flattened"), static_argnums=(2,))
+    # batched_uturn=False: the batched slot check is algebraically identical
+    # but sums in a different order, so bit-exactness holds only for the
+    # sequential path (the batched one is covered by
+    # test_batched_uturn_statistically_identical)
+    flat = jax.jit(
+        nuts.build_kernel(engine="flattened", batched_uturn=False),
+        static_argnums=(2,),
+    )
     nested = jax.jit(nuts.build_kernel(engine="nested"), static_argnums=(2,))
 
     position = jnp.array([1.0, -0.5, 0.3, 0.8])
@@ -131,3 +138,70 @@ def test_nuts_vmapped_chains(rng_key):
     np.testing.assert_allclose(
         samples.var(0), np.array([1.0, 4.0, 0.25, 2.0]), rtol=0.25
     )
+
+
+def test_batched_uturn_statistically_identical(rng_key):
+    """The batched slot check must agree with the sequential loop: the
+    per-slot decisions are algebraically equal, so trajectories only diverge
+    at exact <=0 ties (measure zero). Compare full runs step by step."""
+    imm = jnp.array([1.0, 2.0, 0.5, 1.5])
+    batched = jax.jit(
+        nuts.build_kernel(engine="flattened", batched_uturn=True),
+        static_argnums=(2,),
+    )
+    looped = jax.jit(
+        nuts.build_kernel(engine="flattened", batched_uturn=False),
+        static_argnums=(2,),
+    )
+    state = nuts.init(jnp.array([1.0, -0.5, 0.3, 0.8]), _logdensity)
+    s_b, s_l = state, state
+    for i in range(25):
+        key = jax.random.fold_in(rng_key, i)
+        s_b, info_b = batched(key, s_b, _logdensity, 0.25, imm)
+        s_l, info_l = looped(key, s_l, _logdensity, 0.25, imm)
+        np.testing.assert_allclose(
+            np.asarray(s_b.position), np.asarray(s_l.position), rtol=1e-5
+        )
+        assert int(info_b.num_integration_steps) == int(info_l.num_integration_steps)
+        assert bool(info_b.is_turning) == bool(info_l.is_turning)
+
+
+def test_batched_uturn_unit_agreement(rng_key):
+    """Direct unit check: batched criterion == looped criterion over random
+    checkpoint configurations, for diagonal, dense and low-rank metrics."""
+    from blackjax_tpu.mcmc import metrics as metrics_mod
+
+    d, k = 6, 4
+    key_iter = jax.random.split(rng_key, 40)
+    specs = {
+        "diag": jnp.array([1.0, 0.5, 2.0, 1.5, 0.8, 1.2]),
+        "dense": None,  # built below
+        "low_rank": None,
+    }
+    A = jax.random.normal(jax.random.key(9), (d, d))
+    specs["dense"] = A @ A.T / d + jnp.eye(d)
+    Q, _ = jnp.linalg.qr(jax.random.normal(jax.random.key(10), (d, 2)))
+    specs["low_rank"] = metrics_mod.LowRankInverseMassMatrix(
+        sigma=jnp.full(d, 1.3), U=Q, lam=jnp.array([4.0, 0.3])
+    )
+
+    for name, spec in specs.items():
+        metric = metrics_mod.default_metric(spec)
+        assert metric.check_turning_batched is not None, name
+        for key in key_iter:
+            kr, ks, km, kS, ka = jax.random.split(key, 5)
+            R = jax.random.normal(kr, (k, d))
+            Ssum = jax.random.normal(ks, (k, d))
+            m = jax.random.normal(km, (d,))
+            S = jax.random.normal(kS, (d,))
+            active = jax.random.bernoulli(ka, 0.7, (k,))
+
+            got = bool(metric.check_turning_batched(R, Ssum, m, S, active))
+            want = False
+            for i in range(k):
+                subtree_sum = S - Ssum[i] + R[i]
+                want = want or (
+                    bool(active[i])
+                    and bool(metric.check_turning(R[i], m, subtree_sum))
+                )
+            assert got == want, f"{name}: batched={got} loop={want}"
