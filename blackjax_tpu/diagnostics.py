@@ -173,18 +173,25 @@ def ess_tail(
     input_array: ArrayLike,
     chain_axis: int = 0,
     sample_axis: int = 1,
-    quantiles: tuple = (0.05, 0.95),
+    prob: float = 0.90,
 ) -> Array:
-    """Tail ESS: min over the 5%/95% quantile-indicator ESS of the split
-    chains (reference ``diagnostics.py:424``)."""
+    """Tail ESS (Vehtari et al. 2021): min over the lower/upper
+    tail-indicator ESS of the split chains (reference ``diagnostics.py:424``;
+    ``prob=0.90`` gives the 5th/95th percentiles, the arviz default).
+
+    The indicators are NOT rank-normalized — an ESS over a binary series is
+    well-defined directly, and rank-normalizing heavily-tied values destroys
+    the autocovariance estimate.
+    """
     x = _to_standard_axes(jnp.asarray(input_array), chain_axis, sample_axis)
     x = _split_chains(x)
-    out = []
-    for q in quantiles:
-        cutoff = jnp.quantile(x, q, axis=(0, 1))
-        ind = (x <= cutoff).astype(x.dtype)
-        out.append(effective_sample_size(_rank_normalize(ind)))
-    return jnp.minimum(out[0], out[1])
+    q_low = (1.0 - prob) / 2.0
+    q_high = (1.0 + prob) / 2.0
+    lo = jnp.quantile(x, q_low, axis=(0, 1))
+    hi = jnp.quantile(x, q_high, axis=(0, 1))
+    ess_lower = effective_sample_size((x <= lo).astype(x.dtype))
+    ess_upper = effective_sample_size((x >= hi).astype(x.dtype))
+    return jnp.minimum(ess_lower, ess_upper)
 
 
 def splitR(position, num_chains, superchain_size, func_for_splitR=jnp.square):
@@ -212,16 +219,23 @@ def _gpdfit(exceedances: Array) -> tuple[Array, Array]:
     prior_bs = 3.0
     m_grid = 30 + int(jnp.sqrt(n))
     j = jnp.arange(1, m_grid + 1, dtype=x.dtype)
-    # quartile-anchored grid of b values
+    # quartile-anchored grid of b values; floor the anchor so underflowed-
+    # to-zero lower exceedances (extreme weight tails) cannot produce an
+    # infinite grid
     q1 = x[jnp.maximum((n + 2) // 4 - 1, 0)]
+    q1 = jnp.maximum(q1, 1e-30 * jnp.maximum(x[-1], 1e-30))
     bs = 1.0 / x[-1] + (1.0 - jnp.sqrt(m_grid / (j - 0.5))) / (prior_bs * q1)
-    # profile likelihood at each b
-    k_of_b = -jnp.mean(jnp.log1p(-bs[:, None] * x[None, :]), axis=1)
-    log_lik = n * (jnp.log(bs / k_of_b) + k_of_b - 1.0)
+    # profile likelihood at each b: k(b) = mean log1p(-b x) (NEGATIVE of the
+    # usual shape for heavy tails since the optimal b is negative)
+    k_of_b = jnp.mean(jnp.log1p(-bs[:, None] * x[None, :]), axis=1)
+    log_lik = n * (jnp.log(-bs / k_of_b) - k_of_b - 1.0)
     w = jnp.exp(log_lik - jax.scipy.special.logsumexp(log_lik))
     b_hat = jnp.sum(bs * w)
-    k_hat = -jnp.mean(jnp.log1p(-b_hat * x))
-    sigma = k_hat / b_hat
+    # the REPORTED shape flips the sign back: k = -mean log1p(-b x) would be
+    # the internal convention; the Zhang-Stephens estimate is the positive
+    # mean for heavy tails
+    k_hat = jnp.mean(jnp.log1p(-b_hat * x))
+    sigma = -k_hat / b_hat
     k_hat = (n * k_hat + 5.0) / (n + 10.0)
     return k_hat, sigma
 
