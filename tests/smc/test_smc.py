@@ -202,3 +202,47 @@ def test_update_scale_from_acceptance_rate():
     rates = jnp.array([0.1, 0.5])
     new = update_scale_from_acceptance_rate(scales, rates)
     assert float(new[0]) < float(new[1])
+
+
+def test_partial_posteriors_data_tempering(rng_key):
+    """Data tempering: annealing in observations converges to the full
+    posterior of a conjugate Gaussian-mean model."""
+    import blackjax_tpu
+    from blackjax_tpu.smc import resampling
+
+    n_data, n_particles = 64, 512
+    data_key, init_key, run_key = jax.random.split(rng_key, 3)
+    data = 2.0 + jax.random.normal(data_key, (n_data,))
+
+    def partial_logposterior_factory(data_mask):
+        def logposterior(theta):
+            loglik = -0.5 * (data - theta) ** 2
+            return -0.5 * theta**2 + jnp.sum(loglik * data_mask)
+        return jax.jit(logposterior)
+
+    algo = blackjax_tpu.partial_posteriors_smc(
+        blackjax_tpu.mala.build_kernel(),
+        blackjax_tpu.mala.init,
+        {"step_size": 0.2 * jnp.ones(1)},  # leading dim 1 = shared
+        resampling.systematic,
+        num_mcmc_steps=10,
+        partial_logposterior_factory=partial_logposterior_factory,
+    )
+    particles = jax.random.normal(init_key, (n_particles,)) * 3.0
+    state = algo.init(particles, n_data)
+
+    # anneal: unmask 8 more observations per step
+    n_steps = n_data // 8
+    for i in range(n_steps):
+        mask = (jnp.arange(n_data) < 8 * (i + 1)).astype(jnp.float32)
+        state, info = algo.step(jax.random.fold_in(run_key, i), state, mask)
+
+    # conjugate posterior: mean = sum(y)/(n+1), var = 1/(n+1)
+    post_mean = float(jnp.sum(data) / (n_data + 1))
+    post_var = 1.0 / (n_data + 1)
+    est_mean = float(jnp.average(state.particles, weights=state.weights))
+    est_var = float(
+        jnp.average((state.particles - est_mean) ** 2, weights=state.weights)
+    )
+    assert abs(est_mean - post_mean) < 0.15
+    assert abs(est_var - post_var) < post_var  # same order of magnitude
