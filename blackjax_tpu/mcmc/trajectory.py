@@ -59,6 +59,7 @@ __all__ = [
     "dynamic_multiplicative_expansion",
     "dynamic_recursive_integration",
     "flattened_nuts",
+    "flattened_nuts_machine",
     "hmc_energy",
 ]
 
@@ -447,6 +448,11 @@ class _FlatNUTSState(NamedTuple):
     is_diverging: jnp.ndarray
     is_turning: jnp.ndarray
     done: jnp.ndarray
+    # per-transition constants carried as state so a continuous runner can
+    # swap them at transition boundaries (the per-step kernel treats them as
+    # loop-invariant)
+    rng_key: jnp.ndarray
+    initial_energy: jnp.ndarray
 
 
 def flattened_nuts(
@@ -471,195 +477,18 @@ def flattened_nuts(
     where ``info_tuple = (proposal, left, right, momentum_sum, num_states,
     depth_reached, is_diverging, is_turning)``.
     """
-    energy_fn = hmc_energy(kinetic_energy)
-    _, generate_proposal = proposal_generator(energy_fn)
-
-    def flat_turning(m_left, m_right, m_sum):
-        return uturn_check_fn(m_left, m_right, m_sum)
+    machine_init, leaf_body = _flat_nuts_parts(
+        integrator,
+        kinetic_energy,
+        uturn_check_fn,
+        max_num_expansions,
+        divergence_threshold,
+        batched_uturn_check_fn,
+    )
 
     def propose(rng_key: PRNGKey, initial_state: IntegratorState, step_size):
-        m0, _ = ravel_pytree(initial_state.momentum)
-        d = m0.shape[0]
-        max_depth = max_num_expansions
-        initial_energy = energy_fn(initial_state)
-        fzero = 0.0 * initial_energy  # varying-typed scalar zero
-        initial_proposal = Proposal(
-            initial_state, initial_energy, fzero, -jnp.inf + fzero
-        )
-
-        def subtree_keys(depth):
-            subkey = jax.random.fold_in(rng_key, depth)
-            return jax.random.split(subkey, 3)  # direction, trajectory, proposal
-
         def loop_cond(s: _FlatNUTSState):
             return ~s.done
-
-        def leaf_body(s: _FlatNUTSState, parity: str) -> _FlatNUTSState:
-            """Advance one leaf. ``parity`` is a STATIC guarantee about
-            ``s.leaf`` used to elide provably-dead work:
-
-            - ``"even"``: the checkpoint slot check has an empty active
-              window (``idx_min > idx_max`` exactly when trailing_ones = 0),
-              so it is skipped entirely.
-            - ``"odd"``: the checkpoint write mask is identically False and
-              ``leaf != 0``, so the buffer writes and subtree-start selects
-              are skipped.
-
-            Both elisions are structural identities — the emitted arithmetic
-            for live values is unchanged, keeping results bit-identical to
-            the single-leaf formulation.
-            """
-            direction_key, trajectory_key, proposal_key = subtree_keys(s.depth)
-            leaf_key = jax.random.fold_in(trajectory_key, s.leaf)
-
-            # -------- subtree start: pick direction, reset registers -----
-            if parity == "odd":
-                at_start = False
-                direction = s.direction
-                current = s.current
-            else:
-                at_start = s.leaf == 0
-                new_dir = jnp.where(jax.random.bernoulli(direction_key), 1.0, -1.0)
-                direction = jnp.where(at_start, new_dir, s.direction)
-                start_state = tree_select(direction > 0, s.right, s.left)
-                current = tree_select(at_start, start_state, s.current)
-
-            # -------- one leapfrog step ----------------------------------
-            new_state = integrator(current, direction * step_size)
-            new_proposal = generate_proposal(initial_energy, new_state)
-            leaf_diverging = -new_proposal.weight > divergence_threshold
-            m_new, _ = ravel_pytree(new_state.momentum)
-
-            # -------- subtree progressive sampling -----------------------
-            merged_sub = progressive_uniform_sampling(
-                leaf_key, s.sub_proposal, new_proposal
-            )
-            if parity == "odd":
-                sub_momentum_sum = s.sub_momentum_sum + m_new
-                sub_proposal = merged_sub
-            else:
-                sub_momentum_sum = jnp.where(
-                    at_start, m_new, s.sub_momentum_sum + m_new
-                )
-                sub_proposal = tree_select(at_start, new_proposal, merged_sub)
-
-            # -------- checkpointed subtree U-turn test -------------------
-            idx_min, idx_max = _checkpoint_slots(s.leaf)
-            if parity == "odd":
-                # odd leaves never write (is_even mask False identically)
-                ckpt_momentum = s.ckpt_momentum
-                ckpt_momentum_sum = s.ckpt_momentum_sum
-            else:
-                # masked (K, d) select write: a single-row
-                # dynamic_update_slice with a traced index faults the TPU
-                # runtime inside the vmapped while body (measured:
-                # reproducible device error at 4k chains), so keep the
-                # branch-free masked store
-                row = jax.lax.broadcasted_iota(jnp.int32, (max_depth, 1), 0)
-                write = row == idx_max
-                ckpt_momentum = jnp.where(write, m_new[None, :], s.ckpt_momentum)
-                ckpt_momentum_sum = jnp.where(
-                    write, sub_momentum_sum[None, :], s.ckpt_momentum_sum
-                )
-
-            if parity == "even":
-                # even leaves have an empty active slot window: the check is
-                # a structural no-op
-                subtree_turning = _with_vma_of(m_new, False)
-            elif batched_uturn_check_fn is not None:
-                # distributive matvec form (opt-in): reads of the (K, d)
-                # buffers feed reductions directly. NOTE: measured SLOWER
-                # than the unrolled path below at 4k vmapped chains (the
-                # batched layouts force per-iteration relayout copies of the
-                # (chains, K, d) buffers); kept for metrics whose rowwise
-                # M^{-1} apply is expensive enough to amortize.
-                row = jax.lax.broadcasted_iota(jnp.int32, (max_depth, 1), 0)
-                active = (row[:, 0] >= idx_min) & (row[:, 0] <= idx_max)
-                subtree_turning = batched_uturn_check_fn(
-                    ckpt_momentum,
-                    ckpt_momentum_sum,
-                    m_new,
-                    sub_momentum_sum,
-                    active,
-                )
-            else:
-                # statically unrolled slot checks: literal row indices are
-                # static slices (no gather) and the K independent checks
-                # become one fused straight-line kernel instead of K
-                # sequential latency-bound while iterations (a lax.fori here
-                # measured ~2.2x slower whole-kernel at 4k chains). The OR
-                # accumulation order matches the fori, so results stay
-                # bit-identical to the nested reference engine.
-                subtree_turning = _with_vma_of(m_new, False)
-                for i in range(max_depth):
-                    active = (i >= idx_min) & (i <= idx_max)
-                    subtree_sum = (
-                        sub_momentum_sum - ckpt_momentum_sum[i] + ckpt_momentum[i]
-                    )
-                    subtree_turning = subtree_turning | (
-                        active & flat_turning(ckpt_momentum[i], m_new, subtree_sum)
-                    )
-
-            # -------- subtree boundary bookkeeping -----------------------
-            leaf = s.leaf + 1
-            subtree_complete = leaf >= (1 << s.depth)
-            subtree_aborted = leaf_diverging | subtree_turning
-            closing = subtree_complete | subtree_aborted
-
-            # merge the (possibly partial) subtree into the main trajectory
-            momentum_sum = jnp.where(closing, s.momentum_sum + sub_momentum_sum, s.momentum_sum)
-            forward = direction > 0
-            new_left = tree_select(forward, s.left, new_state)
-            new_right = tree_select(forward, new_state, s.right)
-            left = tree_select(closing, new_left, s.left)
-            right = tree_select(closing, new_right, s.right)
-
-            # proposal update at subtree close: biased merge if healthy,
-            # acceptance-statistics-only if the subtree diverged/turned
-            slpa_only = Proposal(
-                s.proposal.state,
-                s.proposal.energy,
-                s.proposal.weight,
-                jnp.logaddexp(s.proposal.sum_log_p_accept, sub_proposal.sum_log_p_accept),
-            )
-            biased = progressive_biased_sampling(proposal_key, s.proposal, sub_proposal)
-            closed_proposal = tree_select(subtree_aborted, slpa_only, biased)
-            proposal = tree_select(closing, closed_proposal, s.proposal)
-
-            # full-trajectory U-turn test (only meaningful at subtree close)
-            m_left, _ = ravel_pytree(left.momentum)
-            m_right, _ = ravel_pytree(right.momentum)
-            full_turning = closing & flat_turning(m_left, m_right, momentum_sum)
-
-            depth = jnp.where(closing, s.depth + 1, s.depth)
-            leaf = jnp.where(closing, 0, leaf)
-
-            is_diverging = s.is_diverging | leaf_diverging
-            is_turning = s.is_turning | (closing & (subtree_turning | full_turning))
-            done = (
-                is_diverging
-                | is_turning
-                | (closing & (depth >= max_depth))
-            )
-
-            return _FlatNUTSState(
-                current=new_state,
-                left=left,
-                right=right,
-                momentum_sum=momentum_sum,
-                proposal=proposal,
-                num_states=s.num_states + 1,
-                direction=direction,
-                depth=depth,
-                leaf=leaf,
-                sub_momentum_sum=sub_momentum_sum,
-                sub_proposal=sub_proposal,
-                ckpt_momentum=ckpt_momentum,
-                ckpt_momentum_sum=ckpt_momentum_sum,
-                is_diverging=is_diverging,
-                is_turning=is_turning,
-                done=done,
-            )
 
         def pair_body(s: _FlatNUTSState) -> _FlatNUTSState:
             """Process one (even leaf, odd leaf) pair per while iteration.
@@ -671,8 +500,8 @@ def flattened_nuts(
             checkpoint-buffer traffic and the slot-check reductions per
             gradient — the two dominant while-body costs in the TPU profile.
             """
-            s_a = leaf_body(s, parity="even")
-            s_b = leaf_body(s_a, parity="odd")
+            s_a = leaf_body(s, step_size, parity="even")
+            s_b = leaf_body(s_a, step_size, parity="odd")
             # a chain that finished in the first half must not take the
             # second half's updates; the checkpoint buffers are untouched by
             # the odd half, so they pass through without a (K, d) select
@@ -685,10 +514,95 @@ def flattened_nuts(
                 ckpt_momentum_sum=s_a.ckpt_momentum_sum,
             )
 
+        init = machine_init(rng_key, initial_state)
+        # the depth-0 subtree is a single (even) leaf; every later subtree
+        # has even size, so from here on all active chains step through
+        # aligned (even, odd) leaf pairs
+        after_first = leaf_body(init, step_size, parity="even")
+        final = jax.lax.while_loop(loop_cond, pair_body, after_first)
+        info = (
+            final.proposal,
+            final.left,
+            final.right,
+            final.momentum_sum,
+            final.num_states,
+            final.depth,
+            final.is_diverging,
+            final.is_turning,
+        )
+        return final.proposal.state, info
+
+    return propose
+
+
+def flattened_nuts_machine(
+    integrator: Callable,
+    kinetic_energy: Callable,
+    uturn_check_fn: Callable,
+    max_num_expansions: int = 10,
+    divergence_threshold: float = 1000.0,
+    batched_uturn_check_fn: Callable = None,
+) -> tuple:
+    """Expose the flattened engine as a resumable per-leaf state machine.
+
+    Returns ``(machine_init, machine_leaf)``:
+
+    - ``machine_init(rng_key, integrator_state) -> _FlatNUTSState`` starts a
+      transition (the momentum must already be freshly sampled);
+    - ``machine_leaf(state, step_size) -> state`` advances ONE leapfrog leaf
+      with fully dynamic bookkeeping (no parity assumption — chains at
+      different transitions desynchronize their leaf phases).
+
+    ``state.done`` flags transition completion; ``state.proposal.state`` is
+    then the accepted next chain state. The continuous many-step runner
+    (``blackjax_tpu.mcmc.nuts.build_fused_many_steps``) is built on this:
+    chains flow through transitions WITHOUT a per-step lockstep barrier, so
+    the per-step max-over-chains straggler waste disappears.
+    """
+    machine_init, leaf_body = _flat_nuts_parts(
+        integrator,
+        kinetic_energy,
+        uturn_check_fn,
+        max_num_expansions,
+        divergence_threshold,
+        batched_uturn_check_fn,
+    )
+
+    def machine_leaf(s: _FlatNUTSState, step_size) -> _FlatNUTSState:
+        return leaf_body(s, step_size, parity="any")
+
+    return machine_init, machine_leaf
+
+
+def _flat_nuts_parts(
+    integrator: Callable,
+    kinetic_energy: Callable,
+    uturn_check_fn: Callable,
+    max_num_expansions: int,
+    divergence_threshold: float,
+    batched_uturn_check_fn: Callable = None,
+):
+    """Shared guts of the flattened engine: per-transition ``machine_init``
+    and the parity-specialized per-leaf body."""
+    energy_fn = hmc_energy(kinetic_energy)
+    _, generate_proposal = proposal_generator(energy_fn)
+    max_depth = max_num_expansions
+
+    def flat_turning(m_left, m_right, m_sum):
+        return uturn_check_fn(m_left, m_right, m_sum)
+
+    def machine_init(rng_key, initial_state: IntegratorState) -> _FlatNUTSState:
+        m0, _ = ravel_pytree(initial_state.momentum)
+        d = m0.shape[0]
+        initial_energy = energy_fn(initial_state)
+        fzero = 0.0 * initial_energy  # varying-typed scalar zero
+        initial_proposal = Proposal(
+            initial_state, initial_energy, fzero, -jnp.inf + fzero
+        )
         zeros_ckpt = jnp.zeros((max_depth, d), dtype=m0.dtype) + 0 * m0[None, :]
         izero = _with_vma_of(m0, jnp.asarray(0, jnp.int32))
         bfalse = _with_vma_of(m0, False)
-        init = _FlatNUTSState(
+        return _FlatNUTSState(
             current=initial_state,
             left=initial_state,
             right=initial_state,
@@ -705,23 +619,180 @@ def flattened_nuts(
             is_diverging=bfalse,
             is_turning=bfalse,
             done=bfalse,
+            rng_key=rng_key,
+            initial_energy=initial_energy,
         )
 
-        # the depth-0 subtree is a single (even) leaf; every later subtree
-        # has even size, so from here on all active chains step through
-        # aligned (even, odd) leaf pairs
-        after_first = leaf_body(init, parity="even")
-        final = jax.lax.while_loop(loop_cond, pair_body, after_first)
-        info = (
-            final.proposal,
-            final.left,
-            final.right,
-            final.momentum_sum,
-            final.num_states,
-            final.depth,
-            final.is_diverging,
-            final.is_turning,
-        )
-        return final.proposal.state, info
+    def leaf_body(s: _FlatNUTSState, step_size, parity: str) -> _FlatNUTSState:
+        """Advance one leaf. ``parity`` is a STATIC guarantee about
+        ``s.leaf`` used to elide provably-dead work:
 
-    return propose
+        - ``"even"``: the checkpoint slot check has an empty active window
+          (``idx_min > idx_max`` exactly when trailing_ones = 0), so it is
+          skipped entirely.
+        - ``"odd"``: the checkpoint write mask is identically False and
+          ``leaf != 0``, so the buffer writes and subtree-start selects are
+          skipped.
+        - ``"any"``: fully dynamic (the continuous runner's mode — chains at
+          different transitions have unaligned leaf phases).
+
+        The elisions are structural identities — the emitted arithmetic for
+        live values is unchanged, keeping results bit-identical across
+        parities and to the nested reference engine.
+        """
+        subkey = jax.random.fold_in(s.rng_key, s.depth)
+        direction_key, trajectory_key, proposal_key = jax.random.split(subkey, 3)
+        leaf_key = jax.random.fold_in(trajectory_key, s.leaf)
+
+        # -------- subtree start: pick direction, reset registers -----
+        if parity == "odd":
+            at_start = False
+            direction = s.direction
+            current = s.current
+        else:
+            at_start = s.leaf == 0
+            new_dir = jnp.where(jax.random.bernoulli(direction_key), 1.0, -1.0)
+            direction = jnp.where(at_start, new_dir, s.direction)
+            start_state = tree_select(direction > 0, s.right, s.left)
+            current = tree_select(at_start, start_state, s.current)
+
+        # -------- one leapfrog step ----------------------------------
+        new_state = integrator(current, direction * step_size)
+        new_proposal = generate_proposal(s.initial_energy, new_state)
+        leaf_diverging = -new_proposal.weight > divergence_threshold
+        m_new, _ = ravel_pytree(new_state.momentum)
+
+        # -------- subtree progressive sampling -----------------------
+        merged_sub = progressive_uniform_sampling(
+            leaf_key, s.sub_proposal, new_proposal
+        )
+        if parity == "odd":
+            sub_momentum_sum = s.sub_momentum_sum + m_new
+            sub_proposal = merged_sub
+        else:
+            sub_momentum_sum = jnp.where(at_start, m_new, s.sub_momentum_sum + m_new)
+            sub_proposal = tree_select(at_start, new_proposal, merged_sub)
+
+        # -------- checkpointed subtree U-turn test -------------------
+        idx_min, idx_max = _checkpoint_slots(s.leaf)
+        if parity == "odd":
+            # odd leaves never write (is_even mask False identically)
+            ckpt_momentum = s.ckpt_momentum
+            ckpt_momentum_sum = s.ckpt_momentum_sum
+        else:
+            # masked (K, d) select write: a single-row dynamic_update_slice
+            # with a traced index faults the TPU runtime inside the vmapped
+            # while body (measured: reproducible device error at 4k chains),
+            # so keep the branch-free masked store
+            row = jax.lax.broadcasted_iota(jnp.int32, (max_depth, 1), 0)
+            if parity == "even":
+                write = row == idx_max
+            else:
+                write = ((s.leaf % 2) == 0) & (row == idx_max)
+            ckpt_momentum = jnp.where(write, m_new[None, :], s.ckpt_momentum)
+            ckpt_momentum_sum = jnp.where(
+                write, sub_momentum_sum[None, :], s.ckpt_momentum_sum
+            )
+
+        if parity == "even":
+            # even leaves have an empty active slot window: the check is a
+            # structural no-op
+            subtree_turning = _with_vma_of(m_new, False)
+        elif batched_uturn_check_fn is not None:
+            # distributive matvec form (opt-in): reads of the (K, d)
+            # buffers feed reductions directly. NOTE: measured SLOWER than
+            # the unrolled path below at 4k vmapped chains (the batched
+            # layouts force per-iteration relayout copies of the
+            # (chains, K, d) buffers); kept for metrics whose rowwise
+            # M^{-1} apply is expensive enough to amortize.
+            row = jax.lax.broadcasted_iota(jnp.int32, (max_depth, 1), 0)
+            active = (row[:, 0] >= idx_min) & (row[:, 0] <= idx_max)
+            subtree_turning = batched_uturn_check_fn(
+                ckpt_momentum,
+                ckpt_momentum_sum,
+                m_new,
+                sub_momentum_sum,
+                active,
+            )
+        else:
+            # statically unrolled slot checks: literal row indices are
+            # static slices (no gather) and the K independent checks become
+            # one fused straight-line kernel instead of K sequential
+            # latency-bound while iterations (a lax.fori here measured ~2.2x
+            # slower whole-kernel at 4k chains). The OR accumulation order
+            # matches the fori, so results stay bit-identical to the nested
+            # reference engine.
+            subtree_turning = _with_vma_of(m_new, False)
+            for i in range(max_depth):
+                active = (i >= idx_min) & (i <= idx_max)
+                subtree_sum = (
+                    sub_momentum_sum - ckpt_momentum_sum[i] + ckpt_momentum[i]
+                )
+                subtree_turning = subtree_turning | (
+                    active & flat_turning(ckpt_momentum[i], m_new, subtree_sum)
+                )
+
+        # -------- subtree boundary bookkeeping -----------------------
+        leaf = s.leaf + 1
+        subtree_complete = leaf >= (1 << s.depth)
+        subtree_aborted = leaf_diverging | subtree_turning
+        closing = subtree_complete | subtree_aborted
+
+        # merge the (possibly partial) subtree into the main trajectory
+        momentum_sum = jnp.where(
+            closing, s.momentum_sum + sub_momentum_sum, s.momentum_sum
+        )
+        forward = direction > 0
+        new_left = tree_select(forward, s.left, new_state)
+        new_right = tree_select(forward, new_state, s.right)
+        left = tree_select(closing, new_left, s.left)
+        right = tree_select(closing, new_right, s.right)
+
+        # proposal update at subtree close: biased merge if healthy,
+        # acceptance-statistics-only if the subtree diverged/turned
+        slpa_only = Proposal(
+            s.proposal.state,
+            s.proposal.energy,
+            s.proposal.weight,
+            jnp.logaddexp(
+                s.proposal.sum_log_p_accept, sub_proposal.sum_log_p_accept
+            ),
+        )
+        biased = progressive_biased_sampling(proposal_key, s.proposal, sub_proposal)
+        closed_proposal = tree_select(subtree_aborted, slpa_only, biased)
+        proposal = tree_select(closing, closed_proposal, s.proposal)
+
+        # full-trajectory U-turn test (only meaningful at subtree close)
+        m_left, _ = ravel_pytree(left.momentum)
+        m_right, _ = ravel_pytree(right.momentum)
+        full_turning = closing & flat_turning(m_left, m_right, momentum_sum)
+
+        depth = jnp.where(closing, s.depth + 1, s.depth)
+        leaf = jnp.where(closing, 0, leaf)
+
+        is_diverging = s.is_diverging | leaf_diverging
+        is_turning = s.is_turning | (closing & (subtree_turning | full_turning))
+        done = is_diverging | is_turning | (closing & (depth >= max_depth))
+
+        return _FlatNUTSState(
+            current=new_state,
+            left=left,
+            right=right,
+            momentum_sum=momentum_sum,
+            proposal=proposal,
+            num_states=s.num_states + 1,
+            direction=direction,
+            depth=depth,
+            leaf=leaf,
+            sub_momentum_sum=sub_momentum_sum,
+            sub_proposal=sub_proposal,
+            ckpt_momentum=ckpt_momentum,
+            ckpt_momentum_sum=ckpt_momentum_sum,
+            is_diverging=is_diverging,
+            is_turning=is_turning,
+            done=done,
+            rng_key=s.rng_key,
+            initial_energy=s.initial_energy,
+        )
+
+    return machine_init, leaf_body

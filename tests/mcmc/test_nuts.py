@@ -205,3 +205,77 @@ def test_batched_uturn_unit_agreement(rng_key):
                     and bool(metric.check_turning(R[i], m, subtree_sum))
                 )
             assert got == want, f"{name}: batched={got} loop={want}"
+
+
+def test_fused_many_steps_bit_identical_to_scan(rng_key):
+    """The continuous runner must reproduce the scan-of-kernel samples
+    EXACTLY (same per-(step, chain) keys, same transition machine)."""
+    from blackjax_tpu.mcmc.nuts import build_fused_many_steps
+
+    num_chains, num_steps, dim = 6, 12, 4
+    step_size, imm = 0.25, jnp.ones(4)
+
+    algo = blackjax_tpu.nuts(_logdensity, step_size=step_size, inverse_mass_matrix=imm)
+    init_keys = jax.random.split(rng_key, num_chains)
+    positions = jax.vmap(lambda k: jax.random.normal(k, (dim,)))(init_keys)
+    states = jax.vmap(algo.init)(positions)
+
+    # scan-of-kernel reference path
+    step_keys = jax.random.split(jax.random.fold_in(rng_key, 1), num_steps)
+
+    def one(states_c, k):
+        ks = jax.random.split(k, num_chains)
+        states_c, infos = jax.vmap(algo.step)(ks, states_c)
+        return states_c, (states_c.position, infos.num_integration_steps)
+
+    final_scan, (hist_scan, nsteps_scan) = jax.lax.scan(one, states, step_keys)
+
+    # fused continuous path with the SAME per-(step, chain) keys
+    rng_keys = jax.vmap(lambda k: jax.random.split(k, num_chains))(step_keys)
+    run = build_fused_many_steps(
+        _logdensity, step_size, imm, num_steps=num_steps
+    )
+    final_fused, hist_fused, grads = jax.jit(run)(rng_keys, states)
+
+    # hist_scan: (S, C, d); hist_fused: (C, S, d)
+    np.testing.assert_array_equal(
+        np.asarray(hist_fused), np.asarray(hist_scan).swapaxes(0, 1)
+    )
+    assert int(grads) == int(jnp.sum(nsteps_scan))
+    np.testing.assert_array_equal(
+        np.asarray(final_fused.position), np.asarray(final_scan.position)
+    )
+
+
+def test_fused_many_steps_tiny_window_still_exact(rng_key):
+    """window_size smaller than the step count forces constant parking —
+    results must STILL be bit-identical to the scan path."""
+    from blackjax_tpu.mcmc.nuts import build_fused_many_steps
+
+    num_chains, num_steps, dim = 6, 12, 4
+    step_size, imm = 0.25, jnp.ones(4)
+    algo = blackjax_tpu.nuts(_logdensity, step_size=step_size, inverse_mass_matrix=imm)
+    init_keys = jax.random.split(rng_key, num_chains)
+    positions = jax.vmap(lambda k: jax.random.normal(k, (dim,)))(init_keys)
+    states = jax.vmap(algo.init)(positions)
+
+    step_keys = jax.random.split(jax.random.fold_in(rng_key, 1), num_steps)
+
+    def one(states_c, k):
+        ks = jax.random.split(k, num_chains)
+        states_c, infos = jax.vmap(algo.step)(ks, states_c)
+        return states_c, states_c.position
+
+    final_scan, hist_scan = jax.lax.scan(one, states, step_keys)
+
+    rng_keys = jax.vmap(lambda k: jax.random.split(k, num_chains))(step_keys)
+    run = build_fused_many_steps(
+        _logdensity, step_size, imm, num_steps=num_steps, window_size=2
+    )
+    final_fused, hist_fused, _ = jax.jit(run)(rng_keys, states)
+    np.testing.assert_array_equal(
+        np.asarray(hist_fused), np.asarray(hist_scan).swapaxes(0, 1)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(final_fused.position), np.asarray(final_scan.position)
+    )
