@@ -1,5 +1,5 @@
 """Many-chains NUTS on one chip: the canonical TPU workload — 4,096 vmapped
-chains advancing in lockstep through the flattened NUTS engine.
+chains flowing barrier-free through the continuous NUTS runner.
 
 Run: ``python examples/many_chains_tpu.py`` (auto-scales down on CPU).
 """
@@ -29,33 +29,39 @@ def main():
     warmup = blackjax_tpu.window_adaptation(blackjax_tpu.nuts, target.logdensity_fn)
     (_, params), _ = warmup.run(warm_key, jnp.zeros(DIM), num_steps=400)
 
+    from blackjax_tpu.mcmc.nuts import build_fused_many_steps
+
     algo = blackjax_tpu.nuts(target.logdensity_fn, **params, max_num_doublings=8)
     init_keys = jax.random.split(init_key, NUM_CHAINS)
     positions = 0.5 * jax.vmap(lambda k: jax.random.normal(k, (DIM,)))(init_keys)
     states = jax.vmap(algo.init)(positions)
-    step = jax.vmap(algo.step)
 
-    @jax.jit
-    def run(key, states):
-        def one(states, k):
-            keys = jax.random.split(k, NUM_CHAINS)
-            states, infos = step(keys, states)
-            return states, (states.position[:, 0], infos.num_integration_steps)
-
-        return jax.lax.scan(one, states, jax.random.split(key, NUM_STEPS))
+    # the continuous runner: no per-step barrier across chains; samples are
+    # bit-identical to scanning the vmapped kernel with these keys
+    step_keys = jax.random.split(run_key, NUM_STEPS)
+    rng_keys = jax.vmap(lambda k: jax.random.split(k, NUM_CHAINS))(step_keys)
+    run = jax.jit(
+        build_fused_many_steps(
+            target.logdensity_fn,
+            params["step_size"],
+            params["inverse_mass_matrix"],
+            num_steps=NUM_STEPS,
+            max_num_doublings=8,
+            track_fn=lambda s: s.position[:1],
+        )
+    )
 
     # compile, then time
-    out = run(run_key, states)
+    out = run(rng_keys, states)
     jax.block_until_ready(out[1])
     t0 = time.perf_counter()
-    final, (theta0, nsteps) = run(run_key, states)
-    jax.block_until_ready(theta0)
+    final, hist, grads = run(rng_keys, states)
+    jax.block_until_ready(hist)
     elapsed = time.perf_counter() - t0
 
-    grads = int(jnp.sum(nsteps))
     print(f"{NUM_CHAINS} chains x {NUM_STEPS} steps on {jax.devices()[0].device_kind}")
-    print(f"{elapsed:.2f}s  |  {grads / elapsed / 1e6:.2f}M grad-evals/sec")
-    ess = blackjax_tpu.ess(theta0.T[:, :, None])
+    print(f"{elapsed:.2f}s  |  {int(grads) / elapsed / 1e6:.2f}M grad-evals/sec")
+    ess = blackjax_tpu.ess(hist[:, :, 0][:, :, None])
     print(f"min ESS(theta_0): {float(jnp.min(ess)):.1f}")
 
 

@@ -39,8 +39,15 @@ def test_hmc_traces_twice():
     _run_steps(jax.jit(kernel.step), state, jax.random.key(0))
 
 
-def test_nuts_traces_twice():
-    @chex.assert_max_traces(n=2)
+def test_nuts_traces_four_times():
+    """NUTS pins at 4: once in init, plus THREE static instantiations
+    inside one kernel compile — the leaf-pair engine intentionally inlines
+    the leaf body for the standalone first leaf and the two pair halves
+    (graph size x3 for the integrator portion, zero extra runtime, and it
+    is what buys the 1.5x pair speedup). The invariant guarded here is
+    that repeated jitted steps cause NO FURTHER traces."""
+
+    @chex.assert_max_traces(n=4)
     def logdensity_fn(x):
         return jscipy.stats.norm.logpdf(x)
 
@@ -89,8 +96,11 @@ def test_hmc_warmup_traces_three_times():
     _run_steps(step, state, rng_key)
 
 
-def test_nuts_warmup_traces_three_times():
-    @chex.assert_max_traces(n=3)
+def test_nuts_warmup_traces_seven_times():
+    """init (1) + warmup kernel (3 pair-engine instantiations) + post-warmup
+    kernel (3). Repeated steps add none."""
+
+    @chex.assert_max_traces(n=7)
     def logdensity_fn(x):
         return jscipy.stats.norm.logpdf(x)
 
