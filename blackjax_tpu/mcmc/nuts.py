@@ -267,6 +267,12 @@ def build_fused_many_steps(
     this is the TPU-first "chains are a first-class batch axis" design
     (SURVEY.md §7.1) applied across the step axis as well.
 
+    Works unchanged under ``shard_map`` over a ``("chains",)`` mesh (shard
+    ``rng_keys`` as ``P(None, "chains")`` and the states as
+    ``P("chains")``): chains are independent, so each device's while loop
+    completes its shard with no cross-device synchronization, and the
+    results stay bit-identical to single-device execution.
+
     Parameters
     ----------
     track_fn
@@ -318,12 +324,21 @@ def build_fused_many_steps(
         track_shape = jax.eval_shape(
             track_fn, jax.tree.map(lambda x: x[0], machines.proposal.state)
         )
-        hist0 = jnp.zeros((num_chains, S, track_shape.shape[0]), track_shape.dtype)
-        steps0 = jnp.zeros(num_chains, jnp.int32)
-        grads0 = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+        # constant-initialized carries are promoted with a data-derived zero
+        # so their varying-manual-axes type matches the loop body under
+        # shard_map (see trajectory._with_vma_of); a no-op unsharded
+        vz = jax.tree.leaves(init_states.position)[0].ravel()[0] * 0
+        vzi = vz.astype(jnp.int32)
+        hist0 = (
+            jnp.zeros((num_chains, S, track_shape.shape[0]), track_shape.dtype)
+            + vz.astype(track_shape.dtype)
+        )
+        steps0 = jnp.zeros(num_chains, jnp.int32) + vzi
+        grads_dtype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+        grads0 = jnp.zeros((), grads_dtype) + vzi.astype(grads_dtype)
         last0 = machines.proposal.state  # overwritten at each chain's close
-        running0 = jnp.ones(num_chains, bool)
-        offset0 = jnp.zeros((), jnp.int32)
+        running0 = jnp.ones(num_chains, bool) | (vzi > 0)
+        offset0 = jnp.zeros((), jnp.int32) + vzi
         # Optional sliding history window: chains pause before starting a
         # transition more than W steps ahead of the slowest chain, so
         # history writes stay inside W step-rows. MEASURED: at 4096 chains

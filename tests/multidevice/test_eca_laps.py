@@ -122,3 +122,39 @@ def test_laps_end_to_end(mesh, rng_key):
     # acceptance in phase 2 should be reasonable
     acc = np.asarray(info["phase_2"]["acc_prob"])
     assert acc[-1] > 0.4
+
+
+def test_fused_nuts_runner_sharded(mesh, rng_key):
+    """The continuous NUTS runner under shard_map: each device's while loop
+    finishes its own chains independently (no cross-device sync needed —
+    chains are independent), and results are bit-identical to one device."""
+    from jax.sharding import PartitionSpec as P
+
+    from blackjax_tpu.mcmc.nuts import build_fused_many_steps
+
+    C, S, D = 32, 10, 4
+    ld = lambda x: -0.5 * jnp.sum(x**2 / jnp.array([1.0, 4.0, 0.25, 2.0]))
+    algo = blackjax_tpu.nuts(ld, step_size=0.25, inverse_mass_matrix=jnp.ones(D))
+    states = jax.vmap(algo.init)(jax.random.normal(rng_key, (C, D)))
+    step_keys = jax.random.split(jax.random.fold_in(rng_key, 1), S)
+    rng_keys = jax.vmap(lambda k: jax.random.split(k, C))(step_keys)
+
+    run = build_fused_many_steps(ld, 0.25, jnp.ones(D), num_steps=S)
+    final_ref, hist_ref, grads_ref = jax.jit(run)(rng_keys, states)
+
+    def run_wrapped(rng_keys, states):
+        final, hist, grads = run(rng_keys, states)
+        return final, hist, jax.lax.psum(grads, "chains")
+
+    sharded = jax.shard_map(
+        run_wrapped,
+        mesh=mesh,
+        in_specs=(P(None, "chains"), P("chains")),
+        out_specs=(P("chains"), P("chains"), P()),
+    )
+    final_sh, hist_sh, grads_sh = jax.jit(sharded)(rng_keys, states)
+    np.testing.assert_array_equal(np.asarray(hist_sh), np.asarray(hist_ref))
+    np.testing.assert_array_equal(
+        np.asarray(final_sh.position), np.asarray(final_ref.position)
+    )
+    assert int(grads_sh) == int(grads_ref)
