@@ -13,6 +13,7 @@ from blackjax_tpu.ops.fused_leapfrog import (
     get_registered_target,
     make_gaussian_target,
     make_hierarchical_gaussian_target,
+    make_logistic_regression_target,
     register_target,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "get_registered_target",
     "make_gaussian_target",
     "make_hierarchical_gaussian_target",
+    "make_logistic_regression_target",
     "register_target",
 ]

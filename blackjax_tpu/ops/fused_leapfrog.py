@@ -129,10 +129,6 @@ def _leapfrog_kernel(
     energy_ref[:, 0] = -logdensity_tile(x, mask, *params) + kinetic
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("target", "num_steps", "tile_chains", "interpret"),
-)
 def fused_leapfrog(
     positions: Array,
     momenta: Array,
@@ -186,11 +182,21 @@ def fused_leapfrog(
         n_params=len(target.params),
     )
 
-    padded_params = tuple(
-        jnp.pad(jnp.asarray(p, jnp.float32).reshape(d), (0, d_pad - d))[None, :]
-        for p in target.params
-    )
-    vector_spec = pl.BlockSpec((1, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    def _pad_param(p):
+        a = jnp.asarray(p, jnp.float32)
+        if a.ndim == 1 and a.shape[0] == d:
+            # per-coordinate vector: same padded layout as the state
+            return jnp.pad(a, (0, d_pad - d))[None, :]
+        a = jnp.atleast_2d(a)
+        rows = _round_up(a.shape[0], _SUBLANE)
+        cols = _round_up(a.shape[1], _LANE)
+        return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
+
+    padded_params = tuple(_pad_param(p) for p in target.params)
+    param_specs = [
+        pl.BlockSpec(pp.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for pp in padded_params
+    ]
 
     eps = jnp.asarray(step_size, jnp.float32).reshape(1, 1)
     grid = (c_pad // tile_chains,)
@@ -204,9 +210,9 @@ def fused_leapfrog(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             chain_spec,
             chain_spec,
-            vector_spec,
+            pl.BlockSpec((1, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
-        + [vector_spec] * len(padded_params),
+        + param_specs,
         out_specs=[
             chain_spec,
             chain_spec,
@@ -311,5 +317,84 @@ def make_gaussian_target(dim: int, variances=None) -> TargetKernel:
             grad_tile=grad_tile,
             logdensity_fn=logdensity_fn,
             params=(inv_var_param,),
+        )
+    )
+
+
+def make_logistic_regression_target(X, y, prior_scale: float = 10.0) -> TargetKernel:
+    """Bayesian logistic regression ``w ~ N(0, prior_scale^2 I)``,
+    ``y_i ~ Bernoulli(sigmoid(x_i . w))`` — the matmul-dominated target class
+    where the fused kernel genuinely engages the MXU: the design matrix is
+    VMEM-resident across the whole trajectory and each gradient is two
+    ``(chains, N) x (N, d)`` contractions.
+
+    Reference counterpart: the covertype logistic-regression workload of the
+    reference benchmark suite (``tests/test_benchmarks.py``; here with an
+    explicit design matrix so the kernel is self-contained).
+    """
+    import numpy as np
+
+    X = np.asarray(X, np.float32)
+    y = np.asarray(y, np.float32).reshape(-1)
+    n_data, dim = X.shape
+    inv_prior_var = 1.0 / float(prior_scale) ** 2
+
+    # pre-pad the data axis to the lane boundary HERE so the logits
+    # intermediate (chains, N) is 128-aligned and every parameter shares one
+    # consistent N; the validity mask rides along as a parameter
+    n_pad = _round_up(n_data, _LANE)
+    X_full = np.zeros((n_pad, dim), np.float32)
+    X_full[:n_data] = X
+    y_row = np.zeros((1, n_pad), np.float32)
+    y_row[0, :n_data] = y
+    row_mask = np.zeros((1, n_pad), np.float32)
+    row_mask[0, :n_data] = 1.0
+
+    def _logits(w, X_pad):
+        # (tc, dp) x (np, dp) contracting dp -> (tc, np); padded w-lanes hit
+        # zero-padded X columns, padded X rows give logits the mask removes
+        return jax.lax.dot_general(
+            w,
+            X_pad,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def logdensity_tile(w, mask, X_pad, y_pad, mask_pad):
+        logits = _logits(w * mask, X_pad)  # (tc, np_)
+        valid = mask_pad[0][None, :]  # (1, np_)
+        y_row = y_pad[0][None, :]
+        loglik = valid * (y_row * logits - jnp.logaddexp(0.0, logits))
+        prior = -0.5 * inv_prior_var * jnp.sum((w * mask) ** 2, axis=1)
+        return jnp.sum(loglik, axis=1) + prior
+
+    def grad_tile(w, mask, X_pad, y_pad, mask_pad):
+        logits = _logits(w * mask, X_pad)
+        valid = mask_pad[0][None, :]
+        resid = valid * (y_pad[0][None, :] - jax.nn.sigmoid(logits))  # (tc, np_)
+        # (tc, np_) x (np_, dp) -> (tc, dp); padded X columns are zero
+        grad_lik = jax.lax.dot_general(
+            resid,
+            X_pad,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (grad_lik - inv_prior_var * w) * mask
+
+    def logdensity_fn(w):
+        logits = w @ X.T if w.ndim == 1 else jnp.einsum("...d,nd->...n", w, X)
+        loglik = jnp.sum(
+            jnp.asarray(y) * logits - jnp.logaddexp(0.0, logits), axis=-1
+        )
+        return loglik - 0.5 * inv_prior_var * jnp.sum(w**2, axis=-1)
+
+    return register_target(
+        TargetKernel(
+            name="logistic_regression",
+            dim=dim,
+            logdensity_tile=logdensity_tile,
+            grad_tile=grad_tile,
+            logdensity_fn=logdensity_fn,
+            params=(X_full, y_row, row_mask),
         )
     )

@@ -121,3 +121,46 @@ def test_fused_hmc_moment_recovery(rng_key):
     samples = np.asarray(hist[100:]).reshape(-1, DIM)
     np.testing.assert_allclose(samples.var(0), np.asarray(variances), rtol=0.25)
     np.testing.assert_allclose(samples.mean(0), 0.0, atol=0.2)
+
+
+def test_logistic_regression_target_matches_xla(rng_key):
+    """Matmul-class registered target: fused trajectories must match the
+    XLA integrator on the same logdensity."""
+    from blackjax_tpu.ops import make_logistic_regression_target
+
+    n_data, dim = 40, 7
+    kx, kw, kpos, km = jax.random.split(rng_key, 4)
+    X = jax.random.normal(kx, (n_data, dim))
+    w_true = jax.random.normal(kw, (dim,))
+    y = (jax.random.uniform(kx, (n_data,)) < jax.nn.sigmoid(X @ w_true)).astype(
+        jnp.float32
+    )
+    target = make_logistic_regression_target(np.asarray(X), np.asarray(y))
+
+    # tile functions agree with autodiff of the plain logdensity
+    w_batch = jax.random.normal(kpos, (4, dim), jnp.float32)
+    ld_plain = jax.vmap(target.logdensity_fn)(w_batch)
+    g_plain = jax.vmap(jax.grad(target.logdensity_fn))(w_batch)
+
+    x0 = jnp.pad(w_batch, ((0, 4), (0, 128 - dim)))  # pad to (8, 128) tile
+    lane = jnp.arange(128)[None, :]
+    mask = (lane < dim).astype(jnp.float32)
+    # pad the registered params exactly like fused_leapfrog does
+    X_pad = jnp.pad(jnp.asarray(target.params[0]), ((0, 0), (0, 128 - dim)))
+    y_pad = jnp.pad(jnp.asarray(target.params[1]), ((0, 7), (0, 0)))
+    m_pad = jnp.pad(jnp.asarray(target.params[2]), ((0, 7), (0, 0)))
+    ld_tile = target.logdensity_tile(x0, mask, X_pad, y_pad, m_pad)[:4]
+    g_tile = target.grad_tile(x0, mask, X_pad, y_pad, m_pad)[:4, :dim]
+    np.testing.assert_allclose(np.asarray(ld_tile), np.asarray(ld_plain), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_tile), np.asarray(g_plain), rtol=1e-4, atol=1e-5)
+
+    # full fused trajectory vs the XLA integrator
+    x0 = jax.random.normal(kpos, (12, dim), jnp.float32) * 0.3
+    m0 = jax.random.normal(km, (12, dim), jnp.float32)
+    imm = jnp.ones(dim, jnp.float32)
+    x_ref, m_ref, _ = _xla_trajectory(target.logdensity_fn, x0, m0, imm, 0.02, 6)
+    x_f, m_f, energy = fused_leapfrog(
+        x0, m0, imm, 0.02, target=target, num_steps=6, tile_chains=8, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref), rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_ref), rtol=3e-4, atol=3e-4)
