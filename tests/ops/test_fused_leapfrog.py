@@ -164,3 +164,57 @@ def test_logistic_regression_target_matches_xla(rng_key):
     )
     np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref), rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_ref), rtol=3e-4, atol=3e-4)
+
+
+def test_fused_hmc_logreg_posterior(rng_key):
+    """Fused HMC on the matmul-class target recovers the logreg posterior
+    (compared against long-run NUTS on the same logdensity)."""
+    from blackjax_tpu.ops import make_logistic_regression_target
+
+    n_data, dim = 200, 3
+    kx, kw = jax.random.split(jax.random.key(11))
+    X = np.asarray(jax.random.normal(kx, (n_data, dim)))
+    w_true = np.asarray([1.0, -0.5, 0.25])
+    y = np.asarray(
+        (jax.random.uniform(kw, (n_data,)) < jax.nn.sigmoid(jnp.asarray(X) @ w_true))
+    ).astype(np.float32)
+    target = make_logistic_regression_target(X, y, prior_scale=5.0)
+
+    algo = fused_hmc(
+        target,
+        step_size=0.08,
+        inverse_mass_matrix=jnp.ones(dim),
+        num_integration_steps=10,
+        tile_chains=8,
+        interpret=True,
+    )
+    init_key, run_key = jax.random.split(rng_key)
+    state = algo.init(0.1 * jax.random.normal(init_key, (32, dim)))
+
+    def one(state, key):
+        state, info = algo.step(key, state)
+        return state, state.positions
+
+    _, hist = jax.lax.scan(one, state, jax.random.split(run_key, 250))
+    fused_samples = np.asarray(hist[100:]).reshape(-1, dim)
+
+    # reference posterior from NUTS on the same logdensity
+    import blackjax_tpu
+
+    nuts_algo = blackjax_tpu.nuts(
+        target.logdensity_fn, step_size=0.1, inverse_mass_matrix=jnp.ones(dim)
+    )
+    _, (states, _) = blackjax_tpu.util.run_inference_algorithm(
+        jax.random.fold_in(rng_key, 3),
+        nuts_algo,
+        1500,
+        initial_position=jnp.zeros(dim),
+    )
+    nuts_samples = np.asarray(states.position[300:])
+
+    np.testing.assert_allclose(
+        fused_samples.mean(0), nuts_samples.mean(0), atol=0.08
+    )
+    np.testing.assert_allclose(
+        fused_samples.std(0), nuts_samples.std(0), rtol=0.3
+    )
