@@ -70,8 +70,21 @@ def _make_engine(
             new_ss, ws.imm_state, jnp.exp(new_ss.log_step_size), ws.inverse_mass_matrix
         )
 
+    def _flatten(tree):
+        """Metric cores operate on raveled coordinates; positions/grads may
+        be arbitrary pytrees (with a leading chain axis when pooled)."""
+        if tree is None:
+            return None
+        from jax.flatten_util import ravel_pytree
+
+        if pool_acceptance:
+            return jax.vmap(lambda t: ravel_pytree(t)[0])(tree)
+        return ravel_pytree(tree)[0]
+
     def slow_update(position, grad, acceptance_rate, ws: StagedAdaptationState):
-        new_imm_state = metric_core.update(ws.imm_state, position, grad)
+        new_imm_state = metric_core.update(
+            ws.imm_state, _flatten(position), _flatten(grad)
+        )
         new_ss = _da_step(ws.ss_state, acceptance_rate)
         return StagedAdaptationState(
             new_ss,
