@@ -5,6 +5,7 @@ bisection controller used by LAPS.
 Behavioral parity target: ``blackjax/adaptation/step_size.py`` (DA wrapper
 :65, reasonable-step-size search :180, bisection :262).
 """
+import math
 from typing import Callable, NamedTuple
 
 import jax
@@ -91,7 +92,7 @@ def find_reasonable_step_size(
     return state.step_size
 
 
-def bisection_monotonic_fn(acc_prob_wanted, reduce_shift=jnp.log(2.0), tolerance=0.03):
+def bisection_monotonic_fn(acc_prob_wanted, reduce_shift=math.log(2.0), tolerance=0.03):
     """Bracketing bisection on log step size against a monotonically
     decreasing acceptance-rate response; no initial bracketing interval
     needed. Returns ``update((bounds, terminated), step_size, acc_rate) ->

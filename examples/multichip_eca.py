@@ -15,6 +15,16 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# Some environments import jax at interpreter startup (sitecustomize) and pin
+# a platform there, which silently overrides the JAX_PLATFORMS env var. Honor
+# the documented invocation: re-apply the env var before first backend use.
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 
 import blackjax_tpu
