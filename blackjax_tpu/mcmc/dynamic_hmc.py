@@ -1,7 +1,18 @@
-"""HMC with a per-transition random number of integration steps.
+"""HMC with a per-transition (quasi-)random number of integration steps.
 
-Behavioral parity target: ``blackjax/mcmc/dynamic_hmc.py`` (state with a
-random-generator carry :39, Halton quasi-random jitter :205 used by ChEES).
+This module contributes two things:
+
+1. ``lift_drawn_steps`` — a combinator that turns any fixed-trajectory-
+   length kernel into one whose step count is drawn afresh each transition
+   from a carried generator argument (a PRNG key, a Halton index, ...).
+   Randomized trajectory lengths break the resonances static HMC suffers on
+   anisotropic targets and are the substrate for ChEES-style adaptation.
+2. The base-2 Halton (van der Corput) sequence used as the low-discrepancy
+   jitter source, plus ``rescale``/``halton_trajectory_length`` helpers to
+   hit a requested mean length.
+
+Behavioral parity: ``blackjax/mcmc/dynamic_hmc.py`` (carried generator arg
+:39, Halton jitter :205).
 """
 from typing import Callable, NamedTuple
 
@@ -10,7 +21,7 @@ import jax.numpy as jnp
 
 from blackjax_tpu.base import SamplingAlgorithm, build_sampling_algorithm
 from blackjax_tpu.mcmc import integrators
-from blackjax_tpu.mcmc.hmc import HMCInfo, HMCState, hmc_proposal
+from blackjax_tpu.mcmc.hmc import HMCState, hmc_proposal
 from blackjax_tpu.mcmc.hmc import build_kernel as build_static_hmc_kernel
 from blackjax_tpu.types import Array, ArrayLikeTree, ArrayTree, PRNGKey
 
@@ -22,12 +33,21 @@ __all__ = [
     "halton_sequence",
     "halton_trajectory_length",
     "rescale",
+    "lift_drawn_steps",
 ]
 
 
+def _fresh_key(key):
+    return jax.random.split(key)[1]
+
+
+def _uniform_steps(key):
+    return jax.random.randint(key, (), 1, 10)
+
+
 class DynamicHMCState(NamedTuple):
-    """HMC state plus the carry used to generate the (quasi-)random
-    per-transition trajectory length."""
+    """HMC chain state extended with the carried argument that seeds the
+    next transition's trajectory-length draw."""
 
     position: ArrayTree
     logdensity: float
@@ -40,44 +60,27 @@ def init(position: ArrayLikeTree, logdensity_fn: Callable, random_generator_arg:
     return DynamicHMCState(position, logdensity, logdensity_grad, random_generator_arg)
 
 
-def build_kernel(
-    integrator: Callable = integrators.velocity_verlet,
-    divergence_threshold: float = 1000,
-    next_random_arg_fn: Callable = lambda key: jax.random.split(key)[1],
-    integration_steps_fn: Callable = lambda key: jax.random.randint(key, (), 1, 10),
-    build_proposal: Callable = hmc_proposal,
+def lift_drawn_steps(
+    stepped_kernel: Callable,
+    integration_steps_fn: Callable,
+    next_random_arg_fn: Callable,
 ):
-    """Dynamic-trajectory-length HMC. ``integration_steps_fn`` receives the
-    carried ``random_generator_arg`` (a key, a Halton index, ...) plus
-    optional tunable ``integration_steps_params`` and returns the step count
-    for this transition."""
-    hmc_base = build_static_hmc_kernel(integrator, divergence_threshold, build_proposal)
+    """Lift ``stepped_kernel(rng_key, hmc_state, num_steps) -> (state, info)``
+    into a kernel over :class:`DynamicHMCState`: draw the step count from
+    the carried generator argument, run the fixed-length kernel, advance the
+    carry."""
 
-    def kernel(
-        rng_key: PRNGKey,
-        state: DynamicHMCState,
-        logdensity_fn: Callable,
-        step_size: float,
-        inverse_mass_matrix: Array,
-        integration_steps_params: tuple = (),
-    ) -> tuple[DynamicHMCState, HMCInfo]:
-        num_integration_steps = integration_steps_fn(
+    def kernel(rng_key, state: DynamicHMCState, integration_steps_params=()):
+        num_steps = integration_steps_fn(
             state.random_generator_arg, *integration_steps_params
         )
-        hmc_state = HMCState(state.position, state.logdensity, state.logdensity_grad)
-        new_state, info = hmc_base(
-            rng_key,
-            hmc_state,
-            logdensity_fn,
-            step_size,
-            inverse_mass_matrix,
-            num_integration_steps,
-        )
+        chain = HMCState(state.position, state.logdensity, state.logdensity_grad)
+        moved, info = stepped_kernel(rng_key, chain, num_steps)
         return (
             DynamicHMCState(
-                new_state.position,
-                new_state.logdensity,
-                new_state.logdensity_grad,
+                moved.position,
+                moved.logdensity,
+                moved.logdensity_grad,
                 next_random_arg_fn(state.random_generator_arg),
             ),
             info,
@@ -86,52 +89,77 @@ def build_kernel(
     return kernel
 
 
+def build_kernel(
+    integrator: Callable = integrators.velocity_verlet,
+    divergence_threshold: float = 1000,
+    next_random_arg_fn: Callable = _fresh_key,
+    integration_steps_fn: Callable = _uniform_steps,
+    build_proposal: Callable = hmc_proposal,
+):
+    """Dynamic-trajectory-length HMC as a lift of the static HMC kernel."""
+    static_kernel = build_static_hmc_kernel(
+        integrator, divergence_threshold, build_proposal
+    )
+
+    def kernel(
+        rng_key: PRNGKey, state: DynamicHMCState, logdensity_fn: Callable,
+        step_size: float, inverse_mass_matrix: Array,
+        integration_steps_params: tuple = (),
+    ):
+        stepped = lambda key, chain, n: static_kernel(
+            key, chain, logdensity_fn, step_size, inverse_mass_matrix, n
+        )
+        lifted = lift_drawn_steps(stepped, integration_steps_fn, next_random_arg_fn)
+        return lifted(rng_key, state, integration_steps_params)
+
+    return kernel
+
+
 def as_top_level_api(
-    logdensity_fn: Callable,
-    step_size: float,
-    inverse_mass_matrix: Array,
-    *,
+    logdensity_fn: Callable, step_size: float, inverse_mass_matrix: Array, *,
     divergence_threshold: int = 1000,
     integrator: Callable = integrators.velocity_verlet,
-    next_random_arg_fn: Callable = lambda key: jax.random.split(key)[1],
-    integration_steps_fn: Callable = lambda key: jax.random.randint(key, (), 1, 10),
+    next_random_arg_fn: Callable = _fresh_key,
+    integration_steps_fn: Callable = _uniform_steps,
     integration_steps_params: tuple = (),
     build_proposal: Callable = hmc_proposal,
 ) -> SamplingAlgorithm:
     """``blackjax_tpu.dynamic_hmc(...)``."""
     kernel = build_kernel(
-        integrator,
-        divergence_threshold,
-        next_random_arg_fn,
-        integration_steps_fn,
-        build_proposal,
+        integrator, divergence_threshold, next_random_arg_fn,
+        integration_steps_fn, build_proposal,
     )
     return build_sampling_algorithm(
-        kernel,
-        init,
-        logdensity_fn,
+        kernel, init, logdensity_fn,
         kernel_args=(step_size, inverse_mass_matrix, integration_steps_params),
         pass_rng_key_to_init=True,
     )
 
 
+# ---------------------------------------------------------------------------
+# Low-discrepancy trajectory-length jitter.
+# ---------------------------------------------------------------------------
+
+
 def halton_sequence(i: Array, max_bits: int = 10) -> float:
-    """The (i+1)-th element of the base-2 van der Corput / Halton sequence,
-    computed by bit reversal — low-discrepancy trajectory-length jitter for
-    ChEES-style adaptation."""
+    """Element ``i`` (0-based) of the base-2 van der Corput sequence, by bit
+    reversal of ``i + 1`` over ``max_bits`` bits.  Successive values fill
+    (0, 1) far more evenly than IID uniforms, which keeps ChEES-style
+    trajectory-length averages stable at small sample counts."""
     if max_bits >= jnp.iinfo(i.dtype).bits:
         raise ValueError(
             f"max_bits ({max_bits}) must be smaller than the bit width of "
             f"{i.dtype} ({jnp.iinfo(i.dtype).bits})"
         )
-    powers = 2 ** jnp.arange(max_bits, dtype=i.dtype)
-    bits = jnp.mod((i + 1) // powers, 2)
-    return jnp.sum(bits * 0.5 / powers)
+    place_value = 2 ** jnp.arange(max_bits, dtype=i.dtype)
+    digits = ((i + 1) // place_value) % 2
+    return jnp.sum(digits * 0.5 / place_value)
 
 
 def rescale(mu):
-    """Scale ``s`` such that ``round(U(0,1) * s + 0.5)`` has mean ``mu``
-    (used to convert an average trajectory length into a jitter range)."""
+    """The scale ``s`` for which ``round(U(0,1) * s + 0.5)`` has mean
+    ``mu`` (converts a target average trajectory length into the jitter
+    range)."""
     k = jnp.floor(2 * mu - 1)
     x = k * (mu - 0.5 * (k + 1)) / (k + 1 - mu)
     return k + x
@@ -141,5 +169,7 @@ def halton_trajectory_length(
     i: Array, trajectory_length_adjustment: float, max_bits: int = 10
 ) -> int:
     """Quasi-random integer trajectory length with the requested mean."""
-    s = rescale(trajectory_length_adjustment)
-    return jnp.asarray(jnp.rint(0.5 + halton_sequence(i, max_bits) * s), dtype=int)
+    scale = rescale(trajectory_length_adjustment)
+    return jnp.asarray(
+        jnp.rint(0.5 + halton_sequence(i, max_bits) * scale), dtype=int
+    )

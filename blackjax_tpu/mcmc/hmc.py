@@ -1,7 +1,17 @@
-"""Hamiltonian Monte Carlo with static trajectory length.
+"""Hamiltonian Monte Carlo with a static trajectory length.
 
-Behavioral parity target: ``blackjax/mcmc/hmc.py`` (reference; ``HMCState``
-:38, endpoint proposal :115, multinomial proposal :181, kernel :251).
+One transition is: resample the momentum from the metric, integrate the
+Hamiltonian flow for a fixed number of leapfrog steps, then either
+Metropolis-accept the (momentum-flipped) endpoint — classic HMC — or draw
+one state from the whole trajectory proportional to ``exp(-H)`` —
+multinomial HMC.  Both variants share the kernel spine here; the proposal
+rule is a pluggable ``build_proposal``.
+
+Everything in this module is shape-stable and branch-free, so the kernel
+vmaps cleanly over a chain axis and runs in lockstep on TPU.
+
+Behavioral parity: ``blackjax/mcmc/hmc.py`` (``HMCState`` :38, endpoint
+proposal :115, multinomial proposal :181, kernel :251).
 """
 from typing import Callable, NamedTuple, Union
 
@@ -27,7 +37,8 @@ __all__ = [
 
 
 class HMCState(NamedTuple):
-    """Chain state: position plus cached logdensity and gradient."""
+    """Chain state: position plus cached logdensity and gradient (the cache
+    saves one gradient evaluation per transition)."""
 
     position: ArrayTree
     logdensity: float
@@ -52,9 +63,52 @@ def init(position: ArrayLikeTree, logdensity_fn: Callable) -> HMCState:
 
 
 def flip_momentum(state: integrators.IntegratorState) -> integrators.IntegratorState:
-    """Negate the endpoint momentum so the proposal map is an involution
-    (required for detailed balance)."""
+    """Negate the endpoint momentum, making the proposal map an involution
+    (integrate-then-flip composed with itself is the identity) — the
+    requirement for detailed balance."""
     return state._replace(momentum=jax.tree.map(jnp.negative, state.momentum))
+
+
+def build_kernel(
+    integrator: Callable = integrators.velocity_verlet,
+    divergence_threshold: float = 1000,
+    build_proposal: Callable = None,
+):
+    """The HMC kernel spine: momentum refresh -> trajectory -> proposal rule.
+
+    Tunables (``step_size``, ``inverse_mass_matrix``,
+    ``num_integration_steps``) are per-call arguments so adaptation loops
+    can retune them without re-closing (and re-tracing) anything.
+    """
+    propose = hmc_proposal if build_proposal is None else build_proposal
+
+    def kernel(
+        rng_key: PRNGKey,
+        state: HMCState,
+        logdensity_fn: Callable,
+        step_size: float,
+        inverse_mass_matrix: metrics.MetricTypes,
+        num_integration_steps: int,
+    ) -> tuple[HMCState, HMCInfo]:
+        metric = metrics.default_metric(inverse_mass_matrix)
+        generate = propose(
+            integrator(logdensity_fn, metric.kinetic_energy),
+            metric.kinetic_energy,
+            step_size,
+            num_integration_steps,
+            divergence_threshold,
+        )
+        key_refresh, key_propose = jax.random.split(rng_key)
+        phase_point = integrators.IntegratorState(
+            state.position,
+            metric.sample_momentum(key_refresh, state.position),
+            state.logdensity,
+            state.logdensity_grad,
+        )
+        landed, info, _ = generate(key_propose, phase_point)
+        return HMCState(landed.position, landed.logdensity, landed.logdensity_grad), info
+
+    return kernel
 
 
 def hmc_proposal(
@@ -66,31 +120,28 @@ def hmc_proposal(
     *,
     sample_proposal: Callable = static_binomial_sampling,
 ) -> Callable:
-    """Endpoint HMC: integrate ``num_integration_steps`` forward, flip the
-    momentum, Metropolis-accept the endpoint."""
-    build_trajectory = trajectory.static_integration(integrator)
-    energy_fn = hmc_energy(kinetic_energy)
+    """Classic endpoint HMC: the proposal is the momentum-flipped end of the
+    trajectory; accept with probability ``min(1, exp(H(z0) - H(z1)))``."""
+    roll_forward = trajectory.static_integration(integrator)
+    total_energy = hmc_energy(kinetic_energy)
 
-    def generate(rng_key, state: integrators.IntegratorState):
-        end_state = build_trajectory(state, step_size, num_integration_steps)
-        end_state = flip_momentum(end_state)
-        initial_energy = energy_fn(state)
-        new_energy = energy_fn(end_state)
-        delta_energy = safe_energy_diff(initial_energy, new_energy)
-        is_diverging = -delta_energy > divergence_threshold
-        sampled, (do_accept, p_accept, other_info) = sample_proposal(
-            rng_key, delta_energy, state, end_state
+    def generate(rng_key, head: integrators.IntegratorState):
+        tail = flip_momentum(roll_forward(head, step_size, num_integration_steps))
+        h_tail = total_energy(tail)
+        energy_drop = safe_energy_diff(total_energy(head), h_tail)
+        landed, (accepted, p_accept, extra) = sample_proposal(
+            rng_key, energy_drop, head, tail
         )
         info = HMCInfo(
-            state.momentum,
+            head.momentum,
             p_accept,
-            do_accept,
-            is_diverging,
-            new_energy,
-            end_state,
+            accepted,
+            -energy_drop > divergence_threshold,
+            h_tail,
+            tail,
             num_integration_steps,
         )
-        return sampled, info, other_info
+        return landed, info, extra
 
     return generate
 
@@ -102,71 +153,30 @@ def multinomial_hmc_proposal(
     num_integration_steps: int = 1,
     divergence_threshold: float = 1000,
 ) -> Callable:
-    """Multinomial HMC: sample one state from the whole fixed-length
-    trajectory proportional to ``exp(-H)`` (progressive reservoir sampling;
-    no MH rejection, so ``is_accepted`` is always True)."""
-    build_trajectory = trajectory.static_progressive_integration(
+    """Multinomial HMC: draw one state from the whole trajectory with weight
+    ``exp(-H)`` via O(1)-memory progressive reservoir sampling.  There is no
+    rejection step, so ``is_accepted`` is identically True."""
+    sample_trajectory = trajectory.static_progressive_integration(
         integrator, kinetic_energy, num_integration_steps, divergence_threshold
     )
 
-    def generate(rng_key, state: integrators.IntegratorState):
-        proposal, is_diverging = build_trajectory(rng_key, state, step_size)
-        # diagnostic: mean exponentiated energy difference over the trajectory
-        acceptance_rate = jnp.exp(proposal.sum_log_p_accept) / num_integration_steps
+    def generate(rng_key, head: integrators.IntegratorState):
+        reservoir, diverged = sample_trajectory(rng_key, head, step_size)
         info = HMCInfo(
-            momentum=state.momentum,
-            acceptance_rate=acceptance_rate,
+            momentum=head.momentum,
+            # diagnostic: mean exponentiated energy difference over the
+            # trajectory, NOT a Metropolis acceptance probability
+            acceptance_rate=jnp.exp(reservoir.sum_log_p_accept)
+            / num_integration_steps,
             is_accepted=jnp.asarray(True),
-            is_divergent=is_diverging,
-            energy=proposal.energy,
-            proposal=proposal.state,
+            is_divergent=diverged,
+            energy=reservoir.energy,
+            proposal=reservoir.state,
             num_integration_steps=num_integration_steps,
         )
-        return proposal.state, info, None
+        return reservoir.state, info, None
 
     return generate
-
-
-def build_kernel(
-    integrator: Callable = integrators.velocity_verlet,
-    divergence_threshold: float = 1000,
-    build_proposal: Callable = hmc_proposal,
-):
-    """General HMC kernel: parameters are passed per call so adaptation can
-    re-tune them without retracing the Python closure."""
-
-    def kernel(
-        rng_key: PRNGKey,
-        state: HMCState,
-        logdensity_fn: Callable,
-        step_size: float,
-        inverse_mass_matrix: metrics.MetricTypes,
-        num_integration_steps: int,
-    ) -> tuple[HMCState, HMCInfo]:
-        metric = metrics.default_metric(inverse_mass_matrix)
-        symplectic_integrator = integrator(logdensity_fn, metric.kinetic_energy)
-        generate = build_proposal(
-            symplectic_integrator,
-            metric.kinetic_energy,
-            step_size,
-            num_integration_steps,
-            divergence_threshold,
-        )
-
-        key_momentum, key_integrator = jax.random.split(rng_key)
-        position, logdensity, logdensity_grad = state
-        momentum = metric.sample_momentum(key_momentum, position)
-
-        integrator_state = integrators.IntegratorState(
-            position, momentum, logdensity, logdensity_grad
-        )
-        proposal, info, _ = generate(key_integrator, integrator_state)
-        return (
-            HMCState(proposal.position, proposal.logdensity, proposal.logdensity_grad),
-            info,
-        )
-
-    return kernel
 
 
 def as_top_level_api(
@@ -177,10 +187,10 @@ def as_top_level_api(
     *,
     divergence_threshold: int = 1000,
     integrator: Callable = integrators.velocity_verlet,
-    build_proposal: Callable = hmc_proposal,
+    build_proposal: Callable = None,
 ) -> SamplingAlgorithm:
-    """``blackjax_tpu.hmc(...)``: specialize the general kernel over fixed
-    parameters."""
+    """``blackjax_tpu.hmc(...)``: the general kernel specialized over fixed
+    tunables."""
     kernel = build_kernel(integrator, divergence_threshold, build_proposal)
     metric = metrics.default_metric(inverse_mass_matrix)
     return build_sampling_algorithm(
