@@ -1,14 +1,24 @@
-"""General spine of the GIST (Gibbs self-tuning) sampler family
-(Bou-Rabee, Carpenter & Marsden 2024, Algorithm 1).
+"""GIST — Gibbs self-tuning — family spine (Bou-Rabee, Carpenter & Marsden
+2024, Algorithm 1).
 
-The phase space is augmented with a tuning parameter ``alpha ~ p(. | theta,
-rho)``; the proposal is a measure-preserving involution (momentum flip after
-a reversible ``alpha``-indexed map), accepted by Metropolis with the tuning
-density ratio folded into the acceptance log-probability.
+The Markov chain lives on phase space augmented with a *tuning parameter*
+``alpha``.  A transition is three Gibbs/Metropolis moves:
 
-Behavioral parity target: ``blackjax/mcmc/gist.py`` (family spine :14-45,
-``_step`` :143, ``build_kernel`` :211). Concrete instances:
-``gist_step_size`` and ``gist_trajectory_length``.
+1. Gibbs-refresh the momentum ``rho`` from the metric;
+2. Gibbs-draw ``alpha ~ p(. | theta, rho)`` (the seam where each instance
+   plugs in its self-tuning rule: a step-size search, a U-turn rollout, ...);
+3. Metropolis-test the involution ``S o F(alpha)`` with the tuning-density
+   log-ratio ``log p(alpha' | theta', rho') - log p(alpha | theta, rho)``
+   folded into the acceptance exponent.
+
+Instances implement the pair ``(tuning_parameter_fn, apply_fn)``; the
+``apply_fn`` returns the log-ratio *directly* because Dirac tuning
+densities (``gist_step_size``) have no standalone value away from their
+atom.  The spine is branch-free (select-based accept), so it vmaps cleanly
+over a chain axis.
+
+Behavioral parity: ``blackjax/mcmc/gist.py`` (spine :14-45, step :143,
+kernel :211).
 """
 from typing import Callable, NamedTuple
 
@@ -21,7 +31,14 @@ from blackjax_tpu.mcmc.integrators import IntegratorState
 from blackjax_tpu.mcmc.proposal import safe_energy_diff
 from blackjax_tpu.types import Array, ArrayLikeTree, ArrayTree, PRNGKey
 
-__all__ = ["GISTState", "GISTInfo", "init", "build_kernel", "as_top_level_api"]
+__all__ = [
+    "GISTState",
+    "GISTInfo",
+    "init",
+    "build_transition",
+    "build_kernel",
+    "as_top_level_api",
+]
 
 
 class GISTState(NamedTuple):
@@ -32,7 +49,7 @@ class GISTState(NamedTuple):
 
 class GISTInfo(NamedTuple):
     """Transition diagnostics; ``acceptance_rate`` is the realized GIST
-    acceptance probability including the tuning-density-ratio factor."""
+    acceptance probability with the tuning-density-ratio factor included."""
 
     momentum: ArrayTree
     tuning_parameter: ArrayTree
@@ -48,85 +65,73 @@ def init(position: ArrayLikeTree, logdensity_fn: Callable) -> GISTState:
     return GISTState(state.position, state.logdensity, state.logdensity_grad)
 
 
-def _step(
-    rng_key: PRNGKey,
-    state: GISTState,
-    logdensity_fn: Callable,
-    tuning_parameter_fn: Callable,
-    apply_fn: Callable,
-    inverse_mass_matrix: metrics.MetricTypes,
-    divergence_threshold: float,
-):
-    """Gibbs-refresh momentum, Gibbs-draw alpha, apply the involution, one
-    Metropolis test. Returns ``(new_state, info, extra_info)`` — instance
-    modules consume ``extra_info`` for their richer Info tuples."""
-    metric = metrics.default_metric(inverse_mass_matrix)
-    key_momentum, key_tuning, key_accept = jax.random.split(rng_key, 3)
+def build_transition(divergence_threshold: float = 1000) -> Callable:
+    """The shared GIST transition, returning the full ``(new_state, info,
+    extra_info)`` triple.  Instance modules call this directly so they can
+    splice ``extra_info`` (reverse search index, U-turn counts, ...) into
+    their own richer Info tuples; :func:`build_kernel` narrows it to the
+    public ``(state, info)`` contract."""
 
-    position, logdensity, logdensity_grad = state
-    momentum = metric.sample_momentum(key_momentum, position)
-    integrator_state = IntegratorState(position, momentum, logdensity, logdensity_grad)
+    def transition(
+        rng_key: PRNGKey, state: GISTState, logdensity_fn: Callable,
+        tuning_parameter_fn: Callable, apply_fn: Callable,
+        inverse_mass_matrix: metrics.MetricTypes,
+    ):
+        metric = metrics.default_metric(inverse_mass_matrix)
+        total_energy = lambda s: metric.kinetic_energy(s.momentum) - s.logdensity
+        key_refresh, key_draw, key_test = jax.random.split(rng_key, 3)
 
-    alpha, aux = tuning_parameter_fn(key_tuning, integrator_state, logdensity_fn, metric)
-    proposal_state, log_tuning_density_ratio, extra_info = apply_fn(
-        integrator_state, alpha, aux, logdensity_fn, metric
-    )
+        # Gibbs moves: momentum, then the tuning parameter.
+        rho = metric.sample_momentum(key_refresh, state.position)
+        z = IntegratorState(
+            state.position, rho, state.logdensity, state.logdensity_grad
+        )
+        alpha, aux = tuning_parameter_fn(key_draw, z, logdensity_fn, metric)
 
-    initial_energy = -logdensity + metric.kinetic_energy(momentum)
-    proposal_energy = -proposal_state.logdensity + metric.kinetic_energy(
-        proposal_state.momentum
-    )
-    delta_energy = safe_energy_diff(initial_energy, proposal_energy)
-    is_diverging = -delta_energy > divergence_threshold
+        # Metropolis move through the alpha-indexed involution.
+        z_star, log_tuning_ratio, extra_info = apply_fn(
+            z, alpha, aux, logdensity_fn, metric
+        )
+        energy_star = total_energy(z_star)
+        energy_drop = safe_energy_diff(total_energy(z), energy_star)
+        log_accept = energy_drop + log_tuning_ratio
+        p_accept = jnp.exp(jnp.minimum(log_accept, 0.0))
+        accepted = jax.random.uniform(key_test) < p_accept
 
-    log_accept = delta_energy + log_tuning_density_ratio
-    accept_prob = jnp.exp(jnp.minimum(log_accept, 0.0))
-    do_accept = jax.random.uniform(key_accept) < accept_prob
+        landed = GISTState(z_star.position, z_star.logdensity, z_star.logdensity_grad)
+        new_state = jax.tree.map(
+            lambda prop, cur: jnp.where(accepted, prop, cur), landed, state
+        )
+        info = GISTInfo(
+            rho,
+            alpha,
+            accepted,
+            -energy_drop > divergence_threshold,
+            p_accept,
+            energy_star,
+            extra_info.num_integration_steps,
+        )
+        return new_state, info, extra_info
 
-    new_state = jax.tree.map(
-        lambda new, old: jnp.where(do_accept, new, old),
-        GISTState(
-            proposal_state.position,
-            proposal_state.logdensity,
-            proposal_state.logdensity_grad,
-        ),
-        state,
-    )
-    info = GISTInfo(
-        momentum,
-        alpha,
-        do_accept,
-        is_diverging,
-        accept_prob,
-        proposal_energy,
-        extra_info.num_integration_steps,
-    )
-    return new_state, info, extra_info
+    return transition
 
 
 def build_kernel(divergence_threshold: float = 1000) -> Callable:
-    """General GIST kernel. ``tuning_parameter_fn(key, state, logdensity_fn,
-    metric) -> (alpha, aux)`` is the Gibbs draw; ``apply_fn(state, alpha,
-    aux, logdensity_fn, metric) -> (proposal, log_tuning_density_ratio,
-    extra_info)`` computes the involution and the tuning-density log-ratio
-    directly (Dirac tuning densities have no standalone value)."""
+    """General GIST kernel over the ``(tuning_parameter_fn, apply_fn)``
+    seam.  ``tuning_parameter_fn(key, state, logdensity_fn, metric) ->
+    (alpha, aux)`` is the Gibbs draw; ``apply_fn(state, alpha, aux,
+    logdensity_fn, metric) -> (proposal, log_tuning_density_ratio,
+    extra_info)`` runs the involution and reports the tuning log-ratio."""
+    transition = build_transition(divergence_threshold)
 
     def kernel(
-        rng_key: PRNGKey,
-        state: GISTState,
-        logdensity_fn: Callable,
-        tuning_parameter_fn: Callable,
-        apply_fn: Callable,
+        rng_key: PRNGKey, state: GISTState, logdensity_fn: Callable,
+        tuning_parameter_fn: Callable, apply_fn: Callable,
         inverse_mass_matrix: metrics.MetricTypes,
     ) -> tuple[GISTState, GISTInfo]:
-        new_state, info, _ = _step(
-            rng_key,
-            state,
-            logdensity_fn,
-            tuning_parameter_fn,
-            apply_fn,
+        new_state, info, _ = transition(
+            rng_key, state, logdensity_fn, tuning_parameter_fn, apply_fn,
             inverse_mass_matrix,
-            divergence_threshold,
         )
         return new_state, info
 
@@ -134,19 +139,14 @@ def build_kernel(divergence_threshold: float = 1000) -> Callable:
 
 
 def as_top_level_api(
-    logdensity_fn: Callable,
-    inverse_mass_matrix: metrics.MetricTypes,
-    tuning_parameter_fn: Callable,
-    apply_fn: Callable,
-    *,
+    logdensity_fn: Callable, inverse_mass_matrix: metrics.MetricTypes,
+    tuning_parameter_fn: Callable, apply_fn: Callable, *,
     divergence_threshold: float = 1000,
 ) -> SamplingAlgorithm:
     """Internal building block; end users call ``gist_step_size`` /
     ``gist_trajectory_length``."""
     kernel = build_kernel(divergence_threshold)
     return build_sampling_algorithm(
-        kernel,
-        init,
-        logdensity_fn,
+        kernel, init, logdensity_fn,
         kernel_args=(tuning_parameter_fn, apply_fn, inverse_mass_matrix),
     )

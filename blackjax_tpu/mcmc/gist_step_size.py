@@ -1,11 +1,23 @@
-"""GIST with a self-tuned step size (autoStep/autoMALA-style doubling/
-halving selection with a reversibility check).
+"""GIST instance: self-tuned step size (autoStep / autoMALA family).
 
-Behavioral parity target: ``blackjax/mcmc/gist_step_size.py``
-(``step_size_selector`` :142, MH correction via the reversibility-check
-indicator ratio). The tuning parameter is ``alpha = (a, b, j)``: soft
-acceptance thresholds drawn uniformly on the triangle ``a < b``, plus the
-log2 step-size index selected by the search.
+The tuning parameter is ``alpha = (a, b, j)``: two acceptance thresholds
+drawn uniformly on the triangle ``a < b`` (their density is symmetric under
+the involution, so it cancels) and the log2 step-size index ``j`` picked by
+a doubling/halving search — double while the trial trajectory's
+log-acceptance says the step is too small, halve while too large, stop when
+it enters the ``(log a, log b)`` band.  Detailed balance needs the search
+re-run from the proposal to land on the same index (the "reversibility
+check"); a mismatch or an exhausted search budget forces rejection through
+a ``-inf`` tuning log-ratio.
+
+Search formulation used here: each trial classifies the log-acceptance into
+a *band code* (+1 step too small / 0 in band / -1 too large).  The first
+trial's code fixes the search direction; the walk stops as soon as a trial's
+code disagrees with that direction.  One `while_loop`, one
+``logdensity_fn`` call site (trace count stays at 3 per kernel call).
+
+Behavioral parity: ``blackjax/mcmc/gist_step_size.py`` (selector :142, MH
+correction via the indicator ratio).
 """
 from typing import Callable, NamedTuple, Optional
 
@@ -29,11 +41,11 @@ __all__ = [
 
 init = gist.init
 
+_CRITERIA = ("symmetric", "asymmetric")
+
 
 class StepSizeTuningParameter(NamedTuple):
-    """``alpha = (a, b, j)``: thresholds uniform on the triangle ``a < b``
-    (their density cancels since g = identity) and the selected log2 step
-    index, ``step_size = initial_step_size * 2**j``."""
+    """``alpha = (a, b, j)`` with ``step_size = initial_step_size * 2**j``."""
 
     a: Array
     b: Array
@@ -48,8 +60,8 @@ class _StepSizeExtra(NamedTuple):
 
 
 class GISTStepSizeInfo(NamedTuple):
-    """GISTInfo fields plus the forward/reverse step indices (rejection due
-    to ``reverse != forward`` is folded into ``is_accepted``), the
+    """GISTInfo fields plus the forward/reverse step indices (a
+    ``reverse != forward`` mismatch is folded into ``is_accepted``), the
     search-budget-exhausted flag, and the realized step size."""
 
     momentum: Array
@@ -65,101 +77,101 @@ class GISTStepSizeInfo(NamedTuple):
     step_size: Array
 
 
+class _Search(NamedTuple):
+    index: Array  # j of the most recent trial
+    tick: Array  # number of trials so far
+    direction: Array  # +1 double / -1 halve / 0 undecided-or-in-band
+    done: Array
+
+
 def step_size_selector(
-    integrator: Callable,
-    num_integration_steps: int,
-    initial_step_size: float,
-    max_search_steps: int = 10,
+    integrator: Callable, num_integration_steps: int,
+    initial_step_size: float, max_search_steps: int = 10,
     criterion: str = "symmetric",
 ) -> Callable:
     """Build ``mu(state, a, b, logdensity_fn, metric) -> (step_index,
-    search_exhausted)``: double (or halve) the step size until the trial
-    trajectory's log-acceptance crosses the ``(log a, log b)`` band.
-    ``"symmetric"`` uses the AutoStep Algorithm-2 |ell| band (proven
-    irreducible/aperiodic); ``"asymmetric"`` is autoMALA's original."""
-    if criterion not in ("symmetric", "asymmetric"):
-        raise ValueError(f"criterion must be 'symmetric' or 'asymmetric', got {criterion!r}")
-    is_symmetric = criterion == "symmetric"
+    search_exhausted)``.
+
+    ``"symmetric"`` is AutoStep Algorithm 2's |ell| band (proven
+    irreducible/aperiodic); ``"asymmetric"`` is autoMALA's original signed
+    band, kept for cross-validation.
+    """
+    if criterion not in _CRITERIA:
+        raise ValueError(
+            f"criterion must be 'symmetric' or 'asymmetric', got {criterion!r}"
+        )
+    symmetric = criterion == "symmetric"
 
     def mu(
-        state: IntegratorState,
-        a,
-        b,
-        logdensity_fn,
-        metric,
-        *,
+        state: IntegratorState, a, b, logdensity_fn, metric, *,
         build_trajectory: Optional[Callable] = None,
     ):
-        # build the trajectory function once per mu call (apply_fn shares
-        # its own so the reverse re-check doesn't re-wrap logdensity_fn)
+        # One trajectory builder per mu call; apply_fn hands over its own so
+        # the reverse re-check never re-wraps logdensity_fn a second time.
         if build_trajectory is None:
-            symplectic_integrator = integrator(logdensity_fn, metric.kinetic_energy)
-            build_trajectory = trajectory.static_integration(symplectic_integrator)
-
-        def log_acceptance_ratio(step_size):
-            end_state = build_trajectory(state, step_size, num_integration_steps)
-            end_state = hmc.flip_momentum(end_state)
-            initial_energy = -state.logdensity + metric.kinetic_energy(state.momentum)
-            new_energy = -end_state.logdensity + metric.kinetic_energy(end_state.momentum)
-            return safe_energy_diff(initial_energy, new_energy)
-
+            one_step = integrator(logdensity_fn, metric.kinetic_energy)
+            build_trajectory = trajectory.static_integration(one_step)
+        energy_at_start = -state.logdensity + metric.kinetic_energy(state.momentum)
         log_a, log_b = jnp.log(a), jnp.log(b)
 
-        # iteration 0 decides the direction v from ell at the current j;
-        # folding it into the same while_loop keeps logdensity_fn at one
-        # trace site
-        def cond_fn(carry):
-            _, n, terminated, _ = carry
-            return ~terminated & (n < max_search_steps + 1)
-
-        def body_fn(carry):
-            j, n, _, v = carry
-            is_deciding = n == 0
-            trial_j = jnp.where(is_deciding, j, j + v)
-            step_size = initial_step_size * 2.0 ** trial_j.astype(jnp.float32)
-            ell = log_acceptance_ratio(step_size)
-
-            if is_symmetric:
-                do_expand = jnp.abs(ell) < jnp.abs(log_b)
-                do_shrink = jnp.abs(ell) > jnp.abs(log_a)
-            else:
-                do_expand = ell >= log_b
-                do_shrink = ell <= log_a
-            v_decided = jnp.where(do_expand, 1, jnp.where(do_shrink, -1, 0)).astype(
-                jnp.int32
+        def trial_log_accept(j):
+            """ell(theta, rho, eps * 2**j) for one trial trajectory."""
+            eps = initial_step_size * 2.0 ** j.astype(jnp.float32)
+            end = hmc.flip_momentum(
+                build_trajectory(state, eps, num_integration_steps)
             )
-            v_next = jnp.where(is_deciding, v_decided, v)
+            energy_at_end = -end.logdensity + metric.kinetic_energy(end.momentum)
+            return safe_energy_diff(energy_at_start, energy_at_end)
 
-            if is_symmetric:
-                term_expand = (v_next == 1) & (jnp.abs(ell) >= jnp.abs(log_b))
-                term_shrink = (v_next == -1) & (jnp.abs(ell) <= jnp.abs(log_a))
+        def band_code(ell):
+            """+1 when the step is too small (expand), -1 too large
+            (shrink), 0 inside the acceptance band."""
+            if symmetric:
+                too_small = jnp.abs(ell) < jnp.abs(log_b)
+                too_large = jnp.abs(ell) > jnp.abs(log_a)
             else:
-                term_expand = (v_next == 1) & (ell < log_b)
-                term_shrink = (v_next == -1) & (ell > log_a)
-            terminated_next = jnp.where(
-                is_deciding, v_next == 0, term_expand | term_shrink
-            )
-            return trial_j, n + 1, terminated_next, v_next
+                too_small = ell >= log_b
+                too_large = ell <= log_a
+            codes = jnp.where(too_small, 1, jnp.where(too_large, -1, 0))
+            return codes.astype(jnp.int32)
 
-        init_carry = (
+        # Trial 0 evaluates at j=0 (direction still 0) and fixes the
+        # direction from its band code; every later trial walks one index in
+        # that direction and stops as soon as its code disagrees with it.
+        # This keeps trial_log_accept — hence logdensity_fn — at a single
+        # trace-time call site (while_loop bodies trace once).
+        def walk(search: _Search) -> _Search:
+            j = search.index + search.direction
+            code = band_code(trial_log_accept(j))
+            direction = jnp.where(search.tick == 0, code, search.direction)
+            return _Search(
+                j, search.tick + 1, direction, (direction == 0) | (code != direction)
+            )
+
+        start = _Search(
+            jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32),
             jnp.asarray(False),
-            jnp.asarray(0, jnp.int32),
         )
-        j_final, _, terminated_final, v_final = jax.lax.while_loop(
-            cond_fn, body_fn, init_carry
+        end = jax.lax.while_loop(
+            lambda s: ~s.done & (s.tick <= max_search_steps), walk, start
         )
-        search_exhausted = ~terminated_final & (v_final != 0)
-        # final halving: a successful expansion reports one index back so
-        # the reversibility check can pass in the doubling sub-case
-        step_index = jnp.where(terminated_final & (v_final == 1), j_final - 1, j_final)
+        search_exhausted = ~end.done & (end.direction != 0)
+        # A successful doubling run reports one index back — the last trial
+        # overshot the band, and without the step-back the reverse search
+        # could never reproduce the forward index.
+        step_index = jnp.where(
+            end.done & (end.direction == 1), end.index - 1, end.index
+        )
         return step_index, search_exhausted
 
     return mu
 
 
-def _tuning_parameter_fn(selector: Callable) -> Callable:
+def _gibbs_draw(selector: Callable) -> Callable:
+    """Draw (a, b) on the triangle and run the forward search."""
+
     def tuning_parameter_fn(rng_key, state, logdensity_fn, metric):
         u = jax.random.uniform(rng_key, shape=(2,))
         a, b = jnp.minimum(u[0], u[1]), jnp.maximum(u[0], u[1])
@@ -169,38 +181,31 @@ def _tuning_parameter_fn(selector: Callable) -> Callable:
     return tuning_parameter_fn
 
 
-def _apply_fn(
-    integrator: Callable,
-    num_integration_steps: int,
-    initial_step_size: float,
-    selector: Callable,
+def _involution(
+    integrator: Callable, num_integration_steps: int,
+    initial_step_size: float, selector: Callable,
 ) -> Callable:
-    def apply_fn(state, alpha, aux, logdensity_fn, metric):
-        a, b, step_index = alpha
-        forward_exhausted = aux
-        step_size = initial_step_size * 2.0 ** step_index.astype(jnp.float32)
+    """Integrate at the selected step size, then re-run the search from the
+    proposal; the tuning log-ratio is the reversibility indicator."""
 
-        symplectic_integrator = integrator(logdensity_fn, metric.kinetic_energy)
-        build_trajectory = trajectory.static_integration(symplectic_integrator)
-        proposal_state = hmc.flip_momentum(
+    def apply_fn(state, alpha, aux, logdensity_fn, metric):
+        step_size = initial_step_size * 2.0 ** alpha.step_index.astype(jnp.float32)
+        one_step = integrator(logdensity_fn, metric.kinetic_energy)
+        build_trajectory = trajectory.static_integration(one_step)
+        proposal = hmc.flip_momentum(
             build_trajectory(state, step_size, num_integration_steps)
         )
-
-        reverse_step_index, reverse_exhausted = selector(
-            proposal_state, a, b, logdensity_fn, metric, build_trajectory=build_trajectory
+        reverse_index, reverse_exhausted = selector(
+            proposal, alpha.a, alpha.b, logdensity_fn, metric,
+            build_trajectory=build_trajectory,
         )
-        search_exhausted = forward_exhausted | reverse_exhausted
-        is_reversible = reverse_step_index == step_index
-        log_tuning_density_ratio = jnp.where(
-            is_reversible & ~search_exhausted, 0.0, -jnp.inf
-        )
+        exhausted = aux | reverse_exhausted
+        reversible = reverse_index == alpha.step_index
+        log_ratio = jnp.where(reversible & ~exhausted, 0.0, -jnp.inf)
         extra = _StepSizeExtra(
-            jnp.asarray(num_integration_steps),
-            reverse_step_index,
-            search_exhausted,
-            step_size,
+            jnp.asarray(num_integration_steps), reverse_index, exhausted, step_size
         )
-        return proposal_state, log_tuning_density_ratio, extra
+        return proposal, log_ratio, extra
 
     return apply_fn
 
@@ -212,39 +217,31 @@ def build_kernel(
     max_search_steps: int = 10,
 ) -> Callable:
     """``gist_step_size`` kernel."""
-    if criterion not in ("symmetric", "asymmetric"):
-        raise ValueError(f"criterion must be 'symmetric' or 'asymmetric', got {criterion!r}")
+    if criterion not in _CRITERIA:
+        raise ValueError(
+            f"criterion must be 'symmetric' or 'asymmetric', got {criterion!r}"
+        )
+    transition = gist.build_transition(divergence_threshold)
 
     def kernel(
-        rng_key: PRNGKey,
-        state: gist.GISTState,
-        logdensity_fn: Callable,
+        rng_key: PRNGKey, state: gist.GISTState, logdensity_fn: Callable,
         initial_step_size: float,
         inverse_mass_matrix: metrics.MetricTypes,
         num_integration_steps: int = 1,
     ) -> tuple[gist.GISTState, GISTStepSizeInfo]:
         selector = step_size_selector(
-            integrator, num_integration_steps, initial_step_size, max_search_steps, criterion
+            integrator, num_integration_steps, initial_step_size,
+            max_search_steps, criterion,
         )
-        new_state, info, extra = gist._step(
-            rng_key,
-            state,
-            logdensity_fn,
-            _tuning_parameter_fn(selector),
-            _apply_fn(integrator, num_integration_steps, initial_step_size, selector),
+        new_state, info, extra = transition(
+            rng_key, state, logdensity_fn, _gibbs_draw(selector),
+            _involution(integrator, num_integration_steps, initial_step_size,
+                        selector),
             inverse_mass_matrix,
-            divergence_threshold,
         )
-        tuning_parameter = info.tuning_parameter
         return new_state, GISTStepSizeInfo(
-            info.momentum,
-            tuning_parameter,
-            info.is_accepted,
-            info.is_divergent,
-            info.acceptance_rate,
-            info.energy,
-            info.num_integration_steps,
-            tuning_parameter.step_index,
+            *info,
+            info.tuning_parameter.step_index,
             extra.reverse_step_index,
             extra.search_exhausted,
             extra.step_size,
@@ -254,22 +251,17 @@ def build_kernel(
 
 
 def as_top_level_api(
-    logdensity_fn: Callable,
-    inverse_mass_matrix: metrics.MetricTypes,
-    initial_step_size: float,
-    num_integration_steps: int = 1,
-    *,
-    criterion: str = "symmetric",
-    max_search_steps: int = 10,
+    logdensity_fn: Callable, inverse_mass_matrix: metrics.MetricTypes,
+    initial_step_size: float, num_integration_steps: int = 1, *,
+    criterion: str = "symmetric", max_search_steps: int = 10,
     divergence_threshold: float = 1000,
     integrator: Callable = integrators.velocity_verlet,
 ) -> SamplingAlgorithm:
-    """``blackjax_tpu.gist_step_size(...)``: per-transition random step-size
-    selection with MH correction."""
+    """``blackjax_tpu.gist_step_size(...)``: per-transition self-tuned step
+    size with MH correction."""
     kernel = build_kernel(integrator, divergence_threshold, criterion, max_search_steps)
     return build_sampling_algorithm(
-        kernel,
-        init,
-        logdensity_fn,
-        kernel_args=(initial_step_size, inverse_mass_matrix, num_integration_steps),
+        kernel, init, logdensity_fn,
+        kernel_args=(initial_step_size, inverse_mass_matrix,
+                     num_integration_steps),
     )

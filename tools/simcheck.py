@@ -53,7 +53,7 @@ def strip_code(source: str) -> list[str]:
     for ln in result.splitlines():
         ln = ln.strip()
         ln = ln.replace("blackjax_tpu", "blackjax")
-        if ln:
+        if ln and ln != "\\":
             lines.append(ln)
     return lines
 
