@@ -1,6 +1,12 @@
-"""Dynamic-trajectory-length HMC on the Laplace-approximated marginal.
+"""Dynamic-trajectory-length HMC over a Laplace-approximated marginal.
 
-Behavioral parity target: ``blackjax/mcmc/laplace_dynamic_hmc.py``.
+Composition of two house combinators: the warm-started marginal transition
+(:func:`blackjax_tpu.mcmc.laplace_hmc.run_warm_started`) around the
+dynamic-length HMC kernel (:mod:`blackjax_tpu.mcmc.dynamic_hmc`).  The
+chain state carries both the latent MAP warm start and the trajectory-
+length generator argument.
+
+Behavioral parity: ``blackjax/mcmc/laplace_dynamic_hmc.py``.
 """
 from typing import Callable, NamedTuple
 
@@ -8,6 +14,7 @@ import jax
 
 from blackjax_tpu.base import SamplingAlgorithm, build_sampling_algorithm
 from blackjax_tpu.mcmc import dynamic_hmc, hmc, integrators, metrics
+from blackjax_tpu.mcmc.laplace_hmc import run_warm_started
 from blackjax_tpu.mcmc.laplace_marginal import (
     LaplaceHMCInfo,
     LaplaceMarginal,
@@ -16,6 +23,14 @@ from blackjax_tpu.mcmc.laplace_marginal import (
 from blackjax_tpu.types import Array, ArrayLikeTree, ArrayTree, PRNGKey
 
 __all__ = ["LaplaceDynamicHMCState", "init", "build_kernel", "as_top_level_api"]
+
+
+def _fresh_key(key):
+    return jax.random.split(key)[1]
+
+
+def _uniform_steps(key):
+    return jax.random.randint(key, (), 1, 10)
 
 
 class LaplaceDynamicHMCState(NamedTuple):
@@ -29,9 +44,8 @@ class LaplaceDynamicHMCState(NamedTuple):
 def init(
     position: ArrayLikeTree, laplace: LaplaceMarginal, random_generator_arg: Array
 ) -> LaplaceDynamicHMCState:
-    (logdensity, theta_star), logdensity_grad = jax.value_and_grad(
-        laplace, has_aux=True
-    )(position)
+    grad_with_mode = jax.value_and_grad(laplace, has_aux=True)
+    (logdensity, theta_star), logdensity_grad = grad_with_mode(position)
     return LaplaceDynamicHMCState(
         position, logdensity, logdensity_grad, theta_star, random_generator_arg
     )
@@ -40,98 +54,63 @@ def init(
 def build_kernel(
     integrator: Callable = integrators.velocity_verlet,
     divergence_threshold: float = 1000,
-    next_random_arg_fn: Callable = lambda key: jax.random.split(key)[1],
-    integration_steps_fn: Callable = lambda key: jax.random.randint(key, (), 1, 10),
+    next_random_arg_fn: Callable = _fresh_key,
+    integration_steps_fn: Callable = _uniform_steps,
     build_proposal: Callable = hmc.hmc_proposal,
 ) -> Callable:
-    dhmc_kernel = dynamic_hmc.build_kernel(
-        integrator,
-        divergence_threshold,
-        next_random_arg_fn,
-        integration_steps_fn,
-        build_proposal,
+    dyn_kernel = dynamic_hmc.build_kernel(
+        integrator, divergence_threshold, next_random_arg_fn,
+        integration_steps_fn, build_proposal,
     )
 
     def kernel(
-        rng_key: PRNGKey,
-        state: LaplaceDynamicHMCState,
-        laplace: LaplaceMarginal,
-        step_size: float,
+        rng_key: PRNGKey, state: LaplaceDynamicHMCState,
+        laplace: LaplaceMarginal, step_size: float,
         inverse_mass_matrix: metrics.MetricTypes,
         integration_steps_params: tuple = (),
     ) -> tuple[LaplaceDynamicHMCState, LaplaceHMCInfo]:
-        theta_prev = state.theta_star
+        def inner_step(logdensity_fn):
+            chain = dynamic_hmc.DynamicHMCState(
+                state.position, state.logdensity, state.logdensity_grad,
+                state.random_generator_arg,
+            )
+            return dyn_kernel(
+                rng_key, chain, logdensity_fn, step_size, inverse_mass_matrix,
+                integration_steps_params,
+            )
 
-        def logdensity_fn(phi):
-            lp, _ = laplace(phi, theta_prev)
-            return lp
-
-        dyn_state = dynamic_hmc.DynamicHMCState(
-            state.position, state.logdensity, state.logdensity_grad, state.random_generator_arg
+        moved, theta_star, info = run_warm_started(
+            laplace, state.theta_star, inner_step
         )
-        new_dyn_state, hmc_info = dhmc_kernel(
-            rng_key,
-            dyn_state,
-            logdensity_fn,
-            step_size,
-            inverse_mass_matrix,
-            integration_steps_params,
+        return (
+            LaplaceDynamicHMCState(
+                moved.position, moved.logdensity, moved.logdensity_grad,
+                theta_star, moved.random_generator_arg,
+            ),
+            info,
         )
-        new_theta_star, lbfgs_diag = laplace.solve_theta_with_info(
-            new_dyn_state.position, theta_prev
-        )
-        new_state = LaplaceDynamicHMCState(
-            new_dyn_state.position,
-            new_dyn_state.logdensity,
-            new_dyn_state.logdensity_grad,
-            new_theta_star,
-            new_dyn_state.random_generator_arg,
-        )
-        info = LaplaceHMCInfo(
-            momentum=hmc_info.momentum,
-            acceptance_rate=hmc_info.acceptance_rate,
-            is_accepted=hmc_info.is_accepted,
-            is_divergent=hmc_info.is_divergent,
-            energy=hmc_info.energy,
-            proposal=hmc_info.proposal,
-            num_integration_steps=hmc_info.num_integration_steps,
-            lbfgs_iter_num=lbfgs_diag.iter_num,
-            lbfgs_error=lbfgs_diag.error,
-            lbfgs_converged=lbfgs_diag.converged,
-            lbfgs_hit_maxiter=lbfgs_diag.hit_maxiter,
-        )
-        return new_state, info
 
     return kernel
 
 
 def as_top_level_api(
-    log_joint_fn: Callable,
-    theta_init: ArrayLikeTree,
-    step_size: float,
-    inverse_mass_matrix: metrics.MetricTypes,
-    *,
+    log_joint_fn: Callable, theta_init: ArrayLikeTree, step_size: float,
+    inverse_mass_matrix: metrics.MetricTypes, *,
     divergence_threshold: int = 1000,
     integrator: Callable = integrators.velocity_verlet,
-    next_random_arg_fn: Callable = lambda key: jax.random.split(key)[1],
-    integration_steps_fn: Callable = lambda key: jax.random.randint(key, (), 1, 10),
+    next_random_arg_fn: Callable = _fresh_key,
+    integration_steps_fn: Callable = _uniform_steps,
     integration_steps_params: tuple = (),
-    build_proposal: Callable = hmc.hmc_proposal,
-    **optimizer_kwargs,
+    build_proposal: Callable = hmc.hmc_proposal, **optimizer_kwargs,
 ) -> SamplingAlgorithm:
     """``blackjax_tpu.laplace_dhmc(...)``."""
     laplace = laplace_marginal_factory(log_joint_fn, theta_init, **optimizer_kwargs)
     kernel = build_kernel(
-        integrator,
-        divergence_threshold,
-        next_random_arg_fn,
-        integration_steps_fn,
-        build_proposal,
+        integrator, divergence_threshold, next_random_arg_fn,
+        integration_steps_fn, build_proposal,
     )
     return build_sampling_algorithm(
-        kernel,
-        init,
-        laplace,
+        kernel, init, laplace,
         kernel_args=(step_size, inverse_mass_matrix, integration_steps_params),
         pass_rng_key_to_init=True,
     )
