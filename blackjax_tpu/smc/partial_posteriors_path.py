@@ -1,8 +1,19 @@
-"""Data-tempered SMC: anneal by growing the set of observations entering
-the likelihood (partial posteriors path).
+"""Data-tempered SMC: anneal by growing the observation set.
 
-Behavioral parity target: ``blackjax/smc/partial_posteriors_path.py``
-(masked state :12-27, kernel :39).
+Instead of tempering the likelihood exponent (``tempered.py``), the path of
+intermediate distributions adds observations: a boolean ``data_mask``
+selects which datapoints enter the likelihood, and each SMC step moves the
+cloud from the posterior under the current mask to the one under the next.
+The incremental importance weights are the log-posterior ratio of the two
+masked targets, so the caller controls the annealing schedule entirely
+through the masks it feeds to ``step``.
+
+Masks are static-shape boolean vectors (never a growing slice), so every
+step compiles to the same XLA program regardless of how many datapoints are
+active — the TPU-friendly way to express a growing dataset.
+
+Behavioral parity: ``blackjax/smc/partial_posteriors_path.py`` (masked
+state :12-27, kernel :39).
 """
 from typing import Callable, NamedTuple, Optional
 
@@ -10,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from blackjax_tpu.base import SamplingAlgorithm
-from blackjax_tpu.smc import base as smc_base
 from blackjax_tpu.smc.base import update_and_take_last
 from blackjax_tpu.smc.from_mcmc import build_kernel as smc_from_mcmc
 from blackjax_tpu.types import Array, ArrayLikeTree, ArrayTree, PRNGKey
@@ -19,8 +29,7 @@ __all__ = ["PartialPosteriorsSMCState", "init", "build_kernel", "as_top_level_ap
 
 
 class PartialPosteriorsSMCState(NamedTuple):
-    """Particles, weights and a boolean observation mask marking which
-    datapoints currently enter the likelihood."""
+    """Particles, weights, and the boolean mask of active observations."""
 
     particles: ArrayTree
     weights: Array
@@ -28,66 +37,49 @@ class PartialPosteriorsSMCState(NamedTuple):
 
 
 def init(particles: ArrayLikeTree, num_datapoints: int) -> PartialPosteriorsSMCState:
-    n = jax.tree.leaves(particles)[0].shape[0]
-    return PartialPosteriorsSMCState(
-        particles, jnp.full(n, 1.0 / n), jnp.zeros(num_datapoints)
-    )
+    num_particles = jax.tree.leaves(particles)[0].shape[0]
+    uniform = jnp.full(num_particles, 1.0 / num_particles)
+    return PartialPosteriorsSMCState(particles, uniform, jnp.zeros(num_datapoints))
 
 
 def build_kernel(
-    mcmc_step_fn: Callable,
-    mcmc_init_fn: Callable,
-    resampling_fn: Callable,
-    num_mcmc_steps: Optional[int],
-    mcmc_parameters: ArrayTree,
+    mcmc_step_fn: Callable, mcmc_init_fn: Callable, resampling_fn: Callable,
+    num_mcmc_steps: Optional[int], mcmc_parameters: ArrayTree,
     partial_logposterior_factory: Callable,
-    update_strategy=update_and_take_last,
-    batch_size: int = 0,
+    update_strategy=update_and_take_last, batch_size: int = 0,
 ) -> Callable:
-    """Each step moves from the posterior under ``state.data_mask`` to the
-    one under the supplied ``data_mask``; incremental weights are the
-    log-posterior ratio."""
-    delegate = smc_from_mcmc(
+    """One data-tempering step toward the posterior under ``data_mask``.
+
+    ``partial_logposterior_factory(mask) -> logposterior_fn`` builds the
+    masked target; the mutation kernel targets the *new* mask while the
+    incremental weights bridge from the old one.
+    """
+    mutate = smc_from_mcmc(
         mcmc_step_fn, mcmc_init_fn, resampling_fn, update_strategy, batch_size
     )
 
     def step(key, state: PartialPosteriorsSMCState, data_mask: Array):
-        logposterior_fn = partial_logposterior_factory(data_mask)
-        previous_logposterior_fn = partial_logposterior_factory(state.data_mask)
-
-        def log_weights_fn(x):
-            return logposterior_fn(x) - previous_logposterior_fn(x)
-
-        new_state, info = delegate(
-            key, state, num_mcmc_steps, mcmc_parameters, logposterior_fn, log_weights_fn
+        target = partial_logposterior_factory(data_mask)
+        source = partial_logposterior_factory(state.data_mask)
+        bridge_weights = lambda x: target(x) - source(x)
+        moved, info = mutate(
+            key, state, num_mcmc_steps, mcmc_parameters, target, bridge_weights
         )
-        return (
-            PartialPosteriorsSMCState(new_state.particles, new_state.weights, data_mask),
-            info,
-        )
+        return PartialPosteriorsSMCState(moved.particles, moved.weights, data_mask), info
 
     return step
 
 
 def as_top_level_api(
-    mcmc_step_fn: Callable,
-    mcmc_init_fn: Callable,
-    mcmc_parameters: dict,
-    resampling_fn: Callable,
-    num_mcmc_steps,
+    mcmc_step_fn: Callable, mcmc_init_fn: Callable, mcmc_parameters: dict,
+    resampling_fn: Callable, num_mcmc_steps,
     partial_logposterior_factory: Callable,
-    update_strategy=update_and_take_last,
-    batch_size: int = 0,
+    update_strategy=update_and_take_last, batch_size: int = 0,
 ) -> SamplingAlgorithm:
     """``blackjax_tpu.partial_posteriors_smc(...)``."""
     kernel = build_kernel(
-        mcmc_step_fn,
-        mcmc_init_fn,
-        resampling_fn,
-        num_mcmc_steps,
-        mcmc_parameters,
-        partial_logposterior_factory,
-        update_strategy,
+        mcmc_step_fn, mcmc_init_fn, resampling_fn, num_mcmc_steps,
+        mcmc_parameters, partial_logposterior_factory, update_strategy,
         batch_size,
     )
 
