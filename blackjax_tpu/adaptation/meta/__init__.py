@@ -20,27 +20,25 @@ Use via ``staged_adaptation(algorithm, logdensity_fn, metric="auto",
 max_grad_budget=50_000)`` and read the decision afterwards with
 :func:`extract_meta_verdict` / :func:`extract_multi_chain_verdict`.
 """
-from blackjax_tpu.adaptation.meta._calibration import (
-    _mc_detection_edge,
-    _mc_unimodality_threshold,
-)
-from blackjax_tpu.adaptation.meta._detection import (
-    _between_chain_detection,
-    _compute_within_chain_stats,
-)
-from blackjax_tpu.adaptation.meta._state import (
-    MetaAdaptationCoreState,
-    MetaAdaptationVerdict,
-    MultiChainMetaAdaptationCoreState,
-)
-from blackjax_tpu.adaptation.meta.builders import (
-    build_meta_adaptation_core,
-    build_multi_chain_meta_core,
-)
-from blackjax_tpu.adaptation.meta.verdict import (
-    extract_meta_verdict,
-    extract_multi_chain_verdict,
-)
+from blackjax_tpu.adaptation.meta import _calibration, _detection, _state
+from blackjax_tpu.adaptation.meta import builders as _builders
+from blackjax_tpu.adaptation.meta import verdict as _verdict
+
+# Public controller surface.
+MetaAdaptationCoreState = _state.MetaAdaptationCoreState
+MetaAdaptationVerdict = _state.MetaAdaptationVerdict
+MultiChainMetaAdaptationCoreState = _state.MultiChainMetaAdaptationCoreState
+build_meta_adaptation_core = _builders.build_meta_adaptation_core
+build_multi_chain_meta_core = _builders.build_multi_chain_meta_core
+extract_meta_verdict = _verdict.extract_meta_verdict
+extract_multi_chain_verdict = _verdict.extract_multi_chain_verdict
+
+# Calibration/detection internals re-exported for the test suite and for
+# downstream tools that tune the decision thresholds.
+_mc_detection_edge = _calibration._mc_detection_edge
+_mc_unimodality_threshold = _calibration._mc_unimodality_threshold
+_between_chain_detection = _detection._between_chain_detection
+_compute_within_chain_stats = _detection._compute_within_chain_stats
 
 __all__ = [
     "MetaAdaptationCoreState",

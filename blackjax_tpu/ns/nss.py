@@ -71,23 +71,18 @@ def covariance_proposal(
     """Hit-and-run proposal along a covariance-shaped direction, gating the
     likelihood contour into ``is_valid``. The kernel passes a precomputed
     Cholesky factor so the factorization is done once per outer NS step."""
-    if covariance_factor is None:
-        if cov is None:
-            raise ValueError("Specify either cov or covariance_factor")
-        covariance_factor = jnp.linalg.cholesky(cov)
-    elif cov is not None:
-        raise ValueError("Specify only one of cov and covariance_factor")
+    if (cov is None) == (covariance_factor is None):
+        raise ValueError("Specify exactly one of cov and covariance_factor")
+    factor = covariance_factor if cov is None else jnp.linalg.cholesky(cov)
 
     def proposal_generator(rng_key, position, logdensity_fn):
         del logdensity_fn  # NS slices on the recorded prior density + contour
-        direction = sample_direction_from_covariance_factor(
-            rng_key, position, covariance_factor
-        )
+        direction = sample_direction_from_covariance_factor(rng_key, position, factor)
 
         def slice_fn(t):
-            x = jax.tree.map(lambda p, d: p + t * d, position, direction)
-            new_state = init_state_fn(x, loglikelihood_birth=loglikelihood_0)
-            return new_state, new_state.loglikelihood > loglikelihood_0
+            shifted = jax.tree.map(lambda p, d: p + t * d, position, direction)
+            probe = init_state_fn(shifted, loglikelihood_birth=loglikelihood_0)
+            return probe, probe.loglikelihood > loglikelihood_0
 
         return slice_fn
 
@@ -104,9 +99,9 @@ def coordinate_proposal(
         flat, unravel = ravel_pytree(position)
 
         def slice_fn(t):
-            x = unravel(flat.at[i].add(t * width))
-            new_state = init_state_fn(x, loglikelihood_birth=loglikelihood_0)
-            return new_state, new_state.loglikelihood > loglikelihood_0
+            shifted = unravel(flat.at[i].add(t * width))
+            probe = init_state_fn(shifted, loglikelihood_birth=loglikelihood_0)
+            return probe, probe.loglikelihood > loglikelihood_0
 
         return slice_fn
 
@@ -147,19 +142,15 @@ def slice_constrained_step(
 
 
 def _resolve_inner_kernel_params(proposal, inner_kernel_params):
-    if inner_kernel_params is not None:
-        return inner_kernel_params
-    if proposal is covariance_proposal:
-        return live_covariance_factor
-    return live_covariance
+    if inner_kernel_params is None:
+        is_hit_and_run = proposal is covariance_proposal
+        return live_covariance_factor if is_hit_and_run else live_covariance
+    return inner_kernel_params
 
 
 def build_kernel(
-    init_state_fn: Callable,
-    num_inner_steps: int,
-    num_delete: int = 1,
-    max_steps: int = 10,
-    max_shrinkage: int = 100,
+    init_state_fn: Callable, num_inner_steps: int, num_delete: int = 1,
+    max_steps: int = 10, max_shrinkage: int = 100,
     proposal: Callable = covariance_proposal,
     inner_kernel_params: Optional[Callable] = None,
 ) -> Callable:
@@ -175,8 +166,7 @@ def build_kernel(
 
 
 def coordinate_constrained_step(
-    init_state_fn: Callable,
-    slice_kernel: Callable,
+    init_state_fn: Callable, slice_kernel: Callable,
     proposal: Callable = coordinate_proposal,
     coordinate_order: Callable = random_order,
 ) -> Callable:
@@ -197,15 +187,14 @@ def coordinate_constrained_step(
         keys = jax.random.split(sweep_key, order.shape[0])
         final_state, swept = jax.lax.scan(body, state, (keys, order, widths[order]))
 
-        def stitch(v):
-            return unravel(jnp.zeros(d, v.dtype).at[order].set(v))
-
+        # Re-scatter the per-axis sweep records back into position order.
+        stitch = lambda v: unravel(jnp.zeros(d, v.dtype).at[order].set(v))
         info = SliceInfo(
-            is_accepted=jnp.all(swept.is_accepted),
-            num_expansions=jnp.sum(swept.num_expansions),
-            num_shrink=jnp.sum(swept.num_shrink),
-            bracket_left=stitch(swept.bracket_left),
-            bracket_right=stitch(swept.bracket_right),
+            jnp.all(swept.is_accepted),
+            jnp.sum(swept.num_expansions),
+            jnp.sum(swept.num_shrink),
+            stitch(swept.bracket_left),
+            stitch(swept.bracket_right),
         )
         return final_state, info
 
@@ -213,11 +202,8 @@ def coordinate_constrained_step(
 
 
 def build_swig_kernel(
-    init_state_fn: Callable,
-    num_inner_steps: int,
-    num_delete: int = 1,
-    max_steps: int = 10,
-    max_shrinkage: int = 100,
+    init_state_fn: Callable, num_inner_steps: int, num_delete: int = 1,
+    max_steps: int = 10, max_shrinkage: int = 100,
     proposal: Callable = coordinate_proposal,
     coordinate_order: Callable = random_order,
     inner_kernel_params: Callable = live_widths,
@@ -226,21 +212,30 @@ def build_swig_kernel(
     slice_kernel = build_slice_kernel(
         interval=stepping_out, max_expansions=max_steps, max_shrinkage=max_shrinkage
     )
-    constrained_step = coordinate_constrained_step(
-        init_state_fn, slice_kernel, proposal=proposal, coordinate_order=coordinate_order
+    sweep = coordinate_constrained_step(
+        init_state_fn, slice_kernel, proposal=proposal,
+        coordinate_order=coordinate_order,
     )
-    return build_from_mcmc_kernel(
-        constrained_step, num_inner_steps, inner_kernel_params, num_delete
-    )
+    return build_from_mcmc_kernel(sweep, num_inner_steps, inner_kernel_params, num_delete)
+
+
+def _package(kernel, init_state_fn, inner_kernel_params) -> SamplingAlgorithm:
+    """Assemble the public (init, step) pair shared by both variants."""
+
+    def init_fn(position, rng_key=None):
+        return init(
+            position,
+            init_state_fn=jax.vmap(init_state_fn),
+            update_inner_kernel_params_fn=inner_kernel_params,
+            rng_key=rng_key,
+        )
+
+    return SamplingAlgorithm(init_fn, lambda rng_key, state: kernel(rng_key, state))
 
 
 def as_top_level_api(
-    logprior_fn: Callable,
-    loglikelihood_fn: Callable,
-    num_inner_steps: int,
-    num_delete: int = 1,
-    max_steps: int = 10,
-    max_shrinkage: int = 100,
+    logprior_fn: Callable, loglikelihood_fn: Callable, num_inner_steps: int,
+    num_delete: int = 1, max_steps: int = 10, max_shrinkage: int = 100,
     proposal: Callable = covariance_proposal,
     inner_kernel_params: Optional[Callable] = None,
 ) -> SamplingAlgorithm:
@@ -252,36 +247,16 @@ def as_top_level_api(
         init_state_strategy, logprior_fn=logprior_fn, loglikelihood_fn=loglikelihood_fn
     )
     kernel = build_kernel(
-        init_state_fn,
-        num_inner_steps,
-        num_delete,
-        max_steps=max_steps,
-        max_shrinkage=max_shrinkage,
-        proposal=proposal,
+        init_state_fn, num_inner_steps, num_delete, max_steps=max_steps,
+        max_shrinkage=max_shrinkage, proposal=proposal,
         inner_kernel_params=inner_kernel_params,
     )
-
-    def init_fn(position, rng_key=None):
-        return init(
-            position,
-            init_state_fn=jax.vmap(init_state_fn),
-            update_inner_kernel_params_fn=inner_kernel_params,
-            rng_key=rng_key,
-        )
-
-    def step_fn(rng_key, state):
-        return kernel(rng_key, state)
-
-    return SamplingAlgorithm(init_fn, step_fn)
+    return _package(kernel, init_state_fn, inner_kernel_params)
 
 
 def swig_as_top_level_api(
-    logprior_fn: Callable,
-    loglikelihood_fn: Callable,
-    num_inner_steps: int,
-    num_delete: int = 1,
-    max_steps: int = 10,
-    max_shrinkage: int = 100,
+    logprior_fn: Callable, loglikelihood_fn: Callable, num_inner_steps: int,
+    num_delete: int = 1, max_steps: int = 10, max_shrinkage: int = 100,
     proposal: Callable = coordinate_proposal,
     coordinate_order: Callable = random_order,
     inner_kernel_params: Callable = live_widths,
@@ -291,25 +266,9 @@ def swig_as_top_level_api(
         init_state_strategy, logprior_fn=logprior_fn, loglikelihood_fn=loglikelihood_fn
     )
     kernel = build_swig_kernel(
-        init_state_fn,
-        num_inner_steps,
-        num_delete,
-        max_steps=max_steps,
-        max_shrinkage=max_shrinkage,
-        proposal=proposal,
+        init_state_fn, num_inner_steps, num_delete, max_steps=max_steps,
+        max_shrinkage=max_shrinkage, proposal=proposal,
         coordinate_order=coordinate_order,
         inner_kernel_params=inner_kernel_params,
     )
-
-    def init_fn(position, rng_key=None):
-        return init(
-            position,
-            init_state_fn=jax.vmap(init_state_fn),
-            update_inner_kernel_params_fn=inner_kernel_params,
-            rng_key=rng_key,
-        )
-
-    def step_fn(rng_key, state):
-        return kernel(rng_key, state)
-
-    return SamplingAlgorithm(init_fn, step_fn)
+    return _package(kernel, init_state_fn, inner_kernel_params)
