@@ -1,0 +1,430 @@
+"""Mesh-sharded SMC: particles distributed over a device mesh axis.
+
+This is the missing parallelism axis called out by SURVEY §2.5/§5.8: shard
+the ``(n_particles, ...)`` block over a 1-D ``"particles"`` mesh axis and run
+the whole tempering loop inside one ``shard_map``. Everything in an SMC step
+is embarrassingly particle-parallel except two things:
+
+1. **weight normalization / ESS / the tempering solver** — O(1) scalars,
+   computed from shard-local partial reductions combined with one
+   ``psum``/``pmax`` each (latency-bound on ICI, fused into the step);
+2. **resampling** — the one true cross-device data movement in the library
+   (reference gather ``particles[ancestors]``, ``blackjax/smc/base.py:164``,
+   with single-device cumsum+searchsorted kernels
+   ``blackjax/smc/resampling.py:129-158``).
+
+The resampling exchange here is a fused, static-shape **ring pass**:
+
+- each shard computes its local inclusive weight cumsum;
+- one ``all_gather`` of the per-shard totals (ndev floats) gives the
+  exclusive prefix over shards, i.e. the global CDF boundaries;
+- the inverse-CDF positions owned by this shard's *output* slots are compared
+  against the boundary table, and the (cdf-block, particle-block) pair is
+  rotated around the ring with ``ppermute``; in round ``r`` every device
+  holds the block born on shard ``(me - r) % ndev`` and claims whichever of
+  its output positions fall inside that shard's CDF span via a *local*
+  ``searchsorted`` + gather, accumulating with ``where``.
+
+Total bytes moved equal one all-gather of the particle block, but peak
+memory stays at 2x the local block (vs ``ndev``x for a naive gather), every
+shape is static, and the ``ndev`` rounds pipeline on the ICI ring — this is
+the layout the hardware's torus actually provides.
+
+Systematic/stratified/multinomial positions are derived from a *replicated*
+key so the chosen ancestors are identical (up to cumsum rounding) to the
+single-device kernels in :mod:`blackjax_tpu.smc.resampling` — sharding is an
+execution detail, not a statistical change; tests assert exact ancestor
+equality against the single-device kernels.
+"""
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec
+
+from blackjax_tpu.smc import base as smc_base
+from blackjax_tpu.smc import solver as smc_solver
+from blackjax_tpu.smc import tempered
+from blackjax_tpu.smc.base import SMCInfo, SMCState
+from blackjax_tpu.types import Array, ArrayLikeTree, ArrayTree, PRNGKey
+
+__all__ = [
+    "axis_logsumexp",
+    "log_ess",
+    "ess",
+    "make_resampler",
+    "sharded_step",
+    "sharded_init",
+    "build_tempered_kernel",
+    "build_adaptive_tempered_kernel",
+    "run_adaptive_tempered_smc",
+]
+
+
+def axis_logsumexp(x: Array, axis_name: str) -> Array:
+    """Global ``logsumexp`` of a sharded vector: shard-local reduction plus
+    one ``pmax`` (shift) and one ``psum`` (accumulate)."""
+    m = lax.pmax(jnp.max(x), axis_name)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)  # all -inf: avoid nan from inf-inf
+    return jnp.log(lax.psum(jnp.sum(jnp.exp(x - m)), axis_name)) + m
+
+
+def log_ess(log_weights: Array, axis_name: str) -> Array:
+    """Kong's estimator ``2 lse(w) - lse(2w)`` over the full sharded
+    ensemble (parity: ``blackjax/smc/ess.py:23-52``)."""
+    return 2.0 * axis_logsumexp(log_weights, axis_name) - axis_logsumexp(
+        2.0 * log_weights, axis_name
+    )
+
+
+def ess(log_weights: Array, axis_name: str) -> Array:
+    return jnp.exp(log_ess(log_weights, axis_name))
+
+
+# ---------------------------------------------------------------------------
+# Fused resample + exchange
+# ---------------------------------------------------------------------------
+
+
+def _positions(rng_key, scheme: str, n_local: int, n_total: int, shard: Array, dtype):
+    """Inverse-CDF sample positions (in [0, 1)) for this shard's output
+    slots. Drawn from the replicated key over the *global* slot grid and
+    sliced locally, so the positions — hence the ancestors — do not depend on
+    how many devices the ensemble is split over."""
+    start = shard * n_local
+    g = start + jnp.arange(n_local, dtype=dtype)
+    if scheme == "systematic":
+        u = jax.random.uniform(rng_key, ())
+        return (g + u) / n_total
+    if scheme == "stratified":
+        u = lax.dynamic_slice(
+            jax.random.uniform(rng_key, (n_total,)), (start,), (n_local,)
+        )
+        return (g + u) / n_total
+    if scheme == "multinomial":
+        # sorted U(0,1) via normalized exponential spacings — O(N), no sort
+        # (same construction as smc/resampling.py:_sorted_uniforms)
+        spacings = -jnp.log(jax.random.uniform(rng_key, (n_total + 1,)))
+        total = jnp.cumsum(spacings)
+        return lax.dynamic_slice(total[:-1] / total[-1], (start,), (n_local,))
+    raise ValueError(f"unknown resampling scheme: {scheme}")
+
+
+def make_resampler(scheme: str = "systematic", axis_name: str = "particles"):
+    """Build a fused resample+exchange for a particle-sharded ensemble.
+
+    Returns ``fn(rng_key, weights, particles) -> (particles, ancestors)``
+    where ``weights`` is this shard's block of the *globally normalized*
+    weights, ``particles`` the local block, and ``ancestors`` the chosen
+    global ancestor index per local output slot. ``rng_key`` must be
+    replicated across the mesh axis.
+    """
+
+    def resample(rng_key: PRNGKey, weights: Array, particles: ArrayTree):
+        ndev = lax.axis_size(axis_name)
+        me = lax.axis_index(axis_name)
+        n_local = weights.shape[0]
+        n_total = n_local * ndev
+
+        local_cdf = jnp.cumsum(weights)
+        shard_totals = lax.all_gather(local_cdf[-1], axis_name)  # (ndev,)
+        boundaries = jnp.cumsum(shard_totals)
+        total = boundaries[-1]
+        lower = boundaries - shard_totals  # exclusive scan over shards
+
+        pos = _positions(rng_key, scheme, n_local, n_total, me, weights.dtype)
+        pos = pos * total  # unnormalized-CDF scale
+
+        perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+        def one_round(r, carry):
+            acc, anc, blk_cdf, blk_parts = carry
+            src = (me - r) % ndev  # shard whose block we hold this round
+            lo = lower[src]
+            # half-open (lo, hi] spans tile (0, total] exactly because lo/hi
+            # come from the same cumsum; edge shards absorb rounding spill
+            claim = ((pos > lo) | (src == 0)) & (
+                (pos <= boundaries[src]) | (src == ndev - 1)
+            )
+            off = jnp.clip(jnp.searchsorted(blk_cdf, pos - lo), 0, n_local - 1)
+            acc = jax.tree.map(
+                lambda a, b: jnp.where(
+                    claim.reshape((-1,) + (1,) * (b.ndim - 1)), b[off], a
+                ),
+                acc,
+                blk_parts,
+            )
+            anc = jnp.where(claim, src * n_local + off, anc)
+            rotate = lambda x: lax.ppermute(x, axis_name, perm)
+            return acc, anc, rotate(blk_cdf), jax.tree.map(rotate, blk_parts)
+
+        init = (
+            particles,
+            jnp.zeros(n_local, dtype=jnp.int32),
+            local_cdf,
+            particles,
+        )
+        acc, ancestors, _, _ = lax.fori_loop(0, ndev, one_round, init)
+        return acc, ancestors
+
+    return resample
+
+
+# ---------------------------------------------------------------------------
+# Sharded SMC step
+# ---------------------------------------------------------------------------
+
+
+def sharded_init(
+    particles: ArrayLikeTree,
+    init_update_params: ArrayTree,
+    axis_name: str = "particles",
+) -> SMCState:
+    """Uniform weights ``1/N`` over the GLOBAL ensemble (``N = n_local *
+    axis_size``), not the local block."""
+    n_local = jax.tree.leaves(particles)[0].shape[0]
+    n_total = n_local * lax.axis_size(axis_name)
+    return SMCState(particles, jnp.full(n_local, 1.0 / n_total), init_update_params)
+
+
+def sharded_step(
+    rng_key: PRNGKey,
+    state: SMCState,
+    update_fn: Callable,
+    weight_fn: Callable,
+    resample_fn: Callable,
+    axis_name: str = "particles",
+) -> tuple[SMCState, SMCInfo]:
+    """Particle-sharded mirror of :func:`blackjax_tpu.smc.base.step`.
+
+    ``rng_key`` must be replicated over the mesh axis: the resampling
+    positions need the identical key everywhere, and per-shard move keys are
+    derived by folding in the shard index. ``update_parameters`` must be
+    shared (replicated) — per-particle parameters would have to ride the
+    resampling exchange alongside the particles, which the lockstep SMC
+    family does not do either (reference ``base.py:164`` resamples particles
+    only).
+    """
+    key_update, key_resample = jax.random.split(rng_key)
+    n_local = state.weights.shape[0]
+    n_total = n_local * lax.axis_size(axis_name)
+
+    particles, ancestors = resample_fn(key_resample, state.weights, state.particles)
+
+    local_key = jax.random.fold_in(key_update, lax.axis_index(axis_name))
+    keys = jax.random.split(local_key, n_local)
+    particles, update_info = update_fn(keys, particles, state.update_parameters)
+
+    log_weights = weight_fn(particles)
+    log_total = axis_logsumexp(log_weights, axis_name)
+    increment = log_total - jnp.log(n_total)
+    weights = jnp.exp(log_weights - log_total)
+
+    return (
+        SMCState(particles, weights, state.update_parameters),
+        SMCInfo(ancestors, increment, update_info),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tempered / adaptive-tempered kernels on the mesh
+# ---------------------------------------------------------------------------
+
+
+def build_tempered_kernel(
+    logprior_fn: Callable,
+    loglikelihood_fn: Callable,
+    mcmc_step_fn: Callable,
+    mcmc_init_fn: Callable,
+    num_mcmc_steps: int,
+    resampling_scheme: str = "systematic",
+    axis_name: str = "particles",
+) -> Callable:
+    """Sharded analogue of :func:`blackjax_tpu.smc.tempered.build_kernel`:
+    same incremental weights ``delta * loglik`` and rejuvenation target
+    ``prior + lambda * loglik`` (parity: ``blackjax/smc/tempered.py:168-174``),
+    with the step's reductions and resampling mesh-aware."""
+    resample_fn = make_resampler(resampling_scheme, axis_name)
+
+    def kernel(
+        rng_key: PRNGKey,
+        state: tempered.TemperedSMCState,
+        tempering_param: Union[float, Array],
+        mcmc_parameters: dict,
+    ) -> tuple[tempered.TemperedSMCState, SMCInfo]:
+        delta = tempering_param - state.tempering_param
+
+        def log_weights_fn(position):
+            return delta * loglikelihood_fn(position)
+
+        def tempered_logposterior_fn(position):
+            return logprior_fn(position) + state.tempering_param * loglikelihood_fn(
+                position
+            )
+
+        def mcmc_kernel(key, position):
+            mcmc_state = mcmc_init_fn(position, tempered_logposterior_fn)
+
+            def body(mcmc_state, key):
+                return mcmc_step_fn(
+                    key, mcmc_state, tempered_logposterior_fn, **mcmc_parameters
+                )
+
+            last, info = lax.scan(body, mcmc_state, jax.random.split(key, num_mcmc_steps))
+            return last.position, info
+
+        def update_fn(keys, particles, _params):
+            return jax.vmap(mcmc_kernel)(keys, particles)
+
+        smc_state, info = sharded_step(
+            rng_key,
+            SMCState(state.particles, state.weights, {}),
+            update_fn,
+            jax.vmap(log_weights_fn),
+            resample_fn,
+            axis_name,
+        )
+        return (
+            tempered.TemperedSMCState(
+                smc_state.particles, smc_state.weights, state.tempering_param + delta
+            ),
+            info,
+        )
+
+    return kernel
+
+
+def build_adaptive_tempered_kernel(
+    logprior_fn: Callable,
+    loglikelihood_fn: Callable,
+    mcmc_step_fn: Callable,
+    mcmc_init_fn: Callable,
+    num_mcmc_steps: int,
+    target_ess: float,
+    root_solver: Callable = smc_solver.dichotomy,
+    resampling_scheme: str = "systematic",
+    axis_name: str = "particles",
+) -> Callable:
+    """Sharded adaptive tempering: the dichotomy solver runs *replicated* on
+    every device, its objective built from one psum'd global log-ESS per
+    bisection probe (parity: ``blackjax/smc/ess.py:89-96``,
+    ``adaptive_tempered.py:80-90``)."""
+    tempered_kernel = build_tempered_kernel(
+        logprior_fn,
+        loglikelihood_fn,
+        mcmc_step_fn,
+        mcmc_init_fn,
+        num_mcmc_steps,
+        resampling_scheme,
+        axis_name,
+    )
+
+    def compute_delta(state: tempered.TemperedSMCState) -> Array:
+        loglik = jax.vmap(loglikelihood_fn)(state.particles)
+        n_total = loglik.shape[0] * lax.axis_size(axis_name)
+        target = jnp.log(n_total * target_ess)
+        max_delta = 1.0 - state.tempering_param
+
+        def objective(delta):
+            return log_ess(jnp.nan_to_num(delta * loglik), axis_name) - target
+
+        delta = root_solver(objective, 0.0, max_delta)
+        return jnp.clip(delta, 0.0, max_delta)
+
+    def kernel(rng_key: PRNGKey, state, mcmc_parameters: dict):
+        tempering_param = state.tempering_param + compute_delta(state)
+        return tempered_kernel(rng_key, state, tempering_param, mcmc_parameters)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Mesh launcher
+# ---------------------------------------------------------------------------
+
+
+class ShardedSMCResult(NamedTuple):
+    particles: ArrayTree  # sharded (n_particles, ...) blocks
+    weights: Array
+    tempering_param: Array
+    log_likelihood: Array  # accumulated log normalizing constant
+    num_steps: Array
+
+
+def run_adaptive_tempered_smc(
+    rng_key: PRNGKey,
+    initial_particles: ArrayLikeTree,
+    logprior_fn: Callable,
+    loglikelihood_fn: Callable,
+    mcmc_step_fn: Callable,
+    mcmc_init_fn: Callable,
+    mcmc_parameters: dict,
+    mesh,
+    target_ess: float = 0.5,
+    num_mcmc_steps: int = 10,
+    max_steps: int = 100,
+    resampling_scheme: str = "systematic",
+    axis_name: Optional[str] = None,
+) -> ShardedSMCResult:
+    """Run the full prior→posterior tempering loop with particles sharded
+    over ``mesh``. Control crosses the device boundary once: the whole
+    ``while lambda < 1`` loop lives inside a single ``shard_map``.
+
+    ``initial_particles`` leaves have leading dim ``n_particles`` divisible
+    by the mesh axis size. ``mcmc_parameters`` are shared (replicated).
+    Returns the final sharded state plus the accumulated log-normalizing
+    constant (the tempered-SMC evidence estimate).
+    """
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
+    kernel = build_adaptive_tempered_kernel(
+        logprior_fn,
+        loglikelihood_fn,
+        mcmc_step_fn,
+        mcmc_init_fn,
+        num_mcmc_steps,
+        target_ess,
+        resampling_scheme=resampling_scheme,
+        axis_name=axis_name,
+    )
+
+    def run(rng_key, particles):
+        n_local = jax.tree.leaves(particles)[0].shape[0]
+        n_total = n_local * lax.axis_size(axis_name)
+        state = tempered.TemperedSMCState(
+            particles, jnp.full(n_local, 1.0 / n_total), jnp.asarray(0.0)
+        )
+
+        def cond(carry):
+            state, _, i, _ = carry
+            return (state.tempering_param < 1.0) & (i < max_steps)
+
+        def body(carry):
+            state, key, i, log_z = carry
+            key, subkey = jax.random.split(key)
+            state, info = kernel(subkey, state, mcmc_parameters)
+            return state, key, i + 1, log_z + info.log_likelihood_increment
+
+        state, _, n, log_z = lax.while_loop(
+            cond, body, (state, rng_key, jnp.asarray(0), jnp.asarray(0.0))
+        )
+        return ShardedSMCResult(
+            state.particles, state.weights, state.tempering_param, log_z, n
+        )
+
+    p, rep = PartitionSpec(axis_name), PartitionSpec()
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(rep, p),
+        out_specs=ShardedSMCResult(
+            jax.tree.map(lambda _: p, initial_particles), p, rep, rep, rep
+        ),
+        check_vma=False,  # replicated-ness of solver outputs is by construction
+    )
+    initial_particles = jax.device_put(
+        initial_particles, NamedSharding(mesh, p)
+    )
+    return sharded(rng_key, initial_particles)
