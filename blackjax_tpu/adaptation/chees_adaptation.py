@@ -136,8 +136,24 @@ class ChEESAdaptationState(NamedTuple):
     step: int
 
 
-def _weighted_mean(x, w):
-    return jnp.sum(x * w[:, None], axis=0) / (jnp.sum(w) + EPS_FLOAT)
+def _axis_sum(x, axis_name: Optional[str]):
+    """Complete a shard-local partial sum over the named mesh axis (no-op
+    outside ``shard_map``): the one seam that turns every cross-chain
+    reduction below into a global one."""
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def _weighted_mean(x, w, axis_name=None):
+    return _axis_sum(jnp.sum(x * w[:, None], axis=0), axis_name) / (
+        _axis_sum(jnp.sum(w), axis_name) + EPS_FLOAT
+    )
+
+
+def _axis_nanmean(x, axis_name=None):
+    finite = jnp.isfinite(x)
+    total = _axis_sum(jnp.sum(jnp.where(finite, x, 0.0), axis=0), axis_name)
+    count = _axis_sum(jnp.sum(finite, axis=0), axis_name)
+    return total / count
 
 
 def base(
@@ -148,6 +164,7 @@ def base(
     decay_rate: float,
     max_leapfrog_steps: int,
     whiten_criterion: bool = True,
+    axis_name: Optional[str] = None,
 ) -> tuple[Callable, Callable]:
     """Return ``(init, update)`` of the ChEES controller.
 
@@ -186,9 +203,11 @@ def base(
         inverse_mass_matrix: Array,
     ) -> ChEESAdaptationState:
         # ---- step size: dual averaging on harmonic-mean acceptance -------
-        harmonic_mean = 1.0 / jnp.mean(
-            1.0 / acceptance_probabilities, where=~is_divergent
+        inv_acc_sum = _axis_sum(
+            jnp.sum(1.0 / acceptance_probabilities, where=~is_divergent), axis_name
         )
+        non_divergent = _axis_sum(jnp.sum(~is_divergent), axis_name)
+        harmonic_mean = non_divergent / inv_acc_sum
         harmonic_mean = jnp.where(jnp.isfinite(harmonic_mean), harmonic_mean, 0.0)
         da_candidate = da_update(state.da_state, target_acceptance_rate - harmonic_mean)
         candidate_step_size = jnp.exp(da_candidate.log_x)
@@ -211,8 +230,8 @@ def base(
         initials = flatten_chains(initial_positions)
         momentums = flatten_chains(proposed_momentums)
 
-        proposals_centered = proposals - _weighted_mean(proposals, w)
-        initials_centered = initials - jnp.nanmean(initials, axis=0)
+        proposals_centered = proposals - _weighted_mean(proposals, w, axis_name)
+        initials_centered = initials - _axis_nanmean(initials, axis_name)
 
         if whiten_criterion:
             inv_sqrt_imm = 1.0 / jnp.sqrt(inverse_mass_matrix)
@@ -234,9 +253,15 @@ def base(
             * state.trajectory_length  # gradient w.r.t. LOG trajectory length
             * per_chain_gradients
         )
-        trajectory_gradient = jnp.sum(
-            acceptance_probabilities * trajectory_gradients, where=~is_divergent
-        ) / jnp.sum(acceptance_probabilities + EPS_FLOAT, where=~is_divergent)
+        trajectory_gradient = _axis_sum(
+            jnp.sum(
+                acceptance_probabilities * trajectory_gradients, where=~is_divergent
+            ),
+            axis_name,
+        ) / _axis_sum(
+            jnp.sum(acceptance_probabilities + EPS_FLOAT, where=~is_divergent),
+            axis_name,
+        )
 
         log_length = jnp.log(state.trajectory_length)
         updates, optim_candidate = optim.update(
@@ -288,6 +313,7 @@ def chees_adaptation(
     mass_matrix_estimation: Optional[str] = None,
     mass_matrix_window_fraction: float = 0.5,
     _length_floor: bool = False,
+    axis_name: Optional[str] = None,
 ) -> AdaptationAlgorithm:
     """Cross-chain ChEES warmup for jittered dynamic HMC.
 
@@ -295,6 +321,15 @@ def chees_adaptation(
     ``positions`` with a leading ``(num_chains, ...)`` axis; it returns the
     ensemble's final states plus the tuned parameters accepted by
     ``blackjax_tpu.dynamic_hmc``.
+
+    ``axis_name`` shards the ensemble over a mesh axis: call ``run`` inside
+    ``jax.shard_map`` with ``positions`` holding this device's
+    ``num_chains / axis_size`` block and ``rng_key`` replicated. Every
+    cross-chain reduction (harmonic-mean acceptance, the ChEES gradient, the
+    pooled Welford moments) completes over the mesh with one ``psum``; the
+    controller state stays replicated, so the tuned parameters are identical
+    (up to reduction-order rounding) to the single-device vmap run — see
+    ``tests/multidevice/test_sharded_warmup.py``.
 
     ``mass_matrix_estimation="diagonal"`` pools a Welford variance estimate
     over all chains during the last ``mass_matrix_window_fraction`` of
@@ -333,11 +368,15 @@ def chees_adaptation(
         *,
         max_sampling_steps: int = 1000,
     ):
-        leading = {jax.tree.leaves(jax.tree.map(lambda p: p.shape[0], positions))[0]}
+        local_chains = (
+            num_chains if axis_name is None else num_chains // jax.lax.axis_size(axis_name)
+        )
         assert all(
-            jax.tree.leaves(jax.tree.map(lambda p: p.shape[0] == num_chains, positions))
-        ), "initial `positions` leading dimension must equal `num_chains`"
-        num_dim = pytree_size(positions) // num_chains
+            jax.tree.leaves(
+                jax.tree.map(lambda p: p.shape[0] == local_chains, positions)
+            )
+        ), "initial `positions` leading dimension must equal the (local) chain count"
+        num_dim = pytree_size(positions) // local_chains
 
         next_random_arg_fn = lambda i: i + 1
         init_random_arg = 0
@@ -370,10 +409,15 @@ def chees_adaptation(
             target_acceptance_rate,
             decay_rate,
             max_leapfrog_steps,
+            axis_name=axis_name,
         )
 
-        wc_init, wc_update, wc_final = welford_algorithm(is_diagonal_matrix=True)
-        dense_init, dense_update, _ = welford_algorithm(is_diagonal_matrix=False)
+        wc_init, wc_update, wc_final = welford_algorithm(
+            is_diagonal_matrix=True, axis_name=axis_name
+        )
+        dense_init, dense_update, _ = welford_algorithm(
+            is_diagonal_matrix=False, axis_name=axis_name
+        )
         engagement_threshold = max(64, int(2 * np.sqrt(num_dim)))
         window_start = int(num_steps * mass_matrix_window_fraction)
         in_window_flags = jnp.arange(num_steps) >= window_start
@@ -401,6 +445,11 @@ def chees_adaptation(
                 adaptation_state.step_size,
             )
             keys = jax.random.split(rng_key, num_chains)
+            if axis_name is not None:
+                # same global key stream as the vmap path; take our block
+                keys = jax.lax.dynamic_slice_in_dim(
+                    keys, jax.lax.axis_index(axis_name) * local_chains, local_chains
+                )
             _step = partial(
                 step_fn,
                 logdensity_fn=logdensity_fn,
@@ -421,26 +470,29 @@ def chees_adaptation(
                 imm,
             )
 
+            def windowed(update_fn, acc, value):
+                # a collective (the pooled psum) may not live in only one
+                # branch of lax.cond — on the sharded path compute the merge
+                # unconditionally and select
+                if axis_name is None:
+                    return jax.lax.cond(
+                        in_window, lambda a: update_fn(a, value), lambda a: a, acc
+                    )
+                updated = update_fn(acc, value)
+                return jax.tree.map(
+                    lambda a, b: jnp.where(in_window, a, b), updated, acc
+                )
+
             if estimate_mass_matrix:
                 flat_positions = jax.vmap(lambda p: ravel_pytree(p)[0])(
                     new_states.position
                 )
-                new_mm_accum = jax.lax.cond(
-                    in_window,
-                    lambda acc: wc_update(acc, flat_positions),
-                    lambda acc: acc,
-                    mm_accum,
-                )
+                new_mm_accum = windowed(wc_update, mm_accum, flat_positions)
             else:
                 new_mm_accum = mm_accum
 
             if _length_floor:
-                new_dense_accum = jax.lax.cond(
-                    in_window,
-                    lambda acc: dense_update(acc, flat_positions),
-                    lambda acc: acc,
-                    dense_accum,
-                )
+                new_dense_accum = windowed(dense_update, dense_accum, flat_positions)
                 # refresh lambda_max every INTERVAL steps once engaged
                 refresh_due = (
                     in_window

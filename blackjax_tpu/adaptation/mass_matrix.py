@@ -83,10 +83,18 @@ def fisher_block_update(
     return FisherMomentBlock(count_x, mean_x, m2_x, mean_g, m2_g)
 
 
-def welford_algorithm(is_diagonal_matrix: bool) -> tuple[Callable, Callable, Callable]:
+def welford_algorithm(
+    is_diagonal_matrix: bool, axis_name: Optional[str] = None
+) -> tuple[Callable, Callable, Callable]:
     """Numerically stable streaming mean/covariance via the sum of squared
     deviations ``M2``. Returns ``(init, update, final)``; ``final`` yields
-    ``(covariance, sample_size, mean)``."""
+    ``(covariance, sample_size, mean)``.
+
+    With ``axis_name`` the batched ``update`` pools the batch over the named
+    mesh axis as well (one ``psum`` per moment), so a ``shard_map``-resident
+    warmup folds the GLOBAL chain block into a replicated estimator — the
+    sharded counterpart of the multi-chain pooling path.
+    """
 
     def init(n_dims: int) -> WelfordAlgorithmState:
         mean = jnp.zeros((n_dims,))
@@ -99,12 +107,18 @@ def welford_algorithm(is_diagonal_matrix: bool) -> tuple[Callable, Callable, Cal
         batch = value.shape[0]
 
         # batched Welford via Chan-Golub-LeVeque merge of the batch block
-        batch_mean = jnp.mean(value, axis=0)
+        if axis_name is None:
+            batch_mean = jnp.mean(value, axis=0)
+        else:
+            batch = batch * jax.lax.axis_size(axis_name)
+            batch_mean = jax.lax.psum(jnp.sum(value, axis=0), axis_name) / batch
         centered = value - batch_mean
         if is_diagonal_matrix:
             batch_m2 = jnp.sum(centered**2, axis=0)
         else:
             batch_m2 = centered.T @ centered
+        if axis_name is not None:
+            batch_m2 = jax.lax.psum(batch_m2, axis_name)
 
         new_size = sample_size + batch
         delta = batch_mean - mean

@@ -44,13 +44,27 @@ def _make_engine(
     *,
     target_acceptance_rate: float,
     pool_acceptance: bool = False,
+    axis_name: Optional[str] = None,
 ) -> tuple[Callable, Callable, Callable]:
     """Build ``(init, update, final)`` for the warmup host state. Step-size
-    DA lives here; mass-matrix work is delegated to ``metric_core``."""
+    DA lives here; mass-matrix work is delegated to ``metric_core``.
+
+    ``axis_name`` (with ``pool_acceptance``) makes the pooled path
+    mesh-aware: the acceptance mean completes with a ``psum`` and the chain
+    block is ``all_gather``-ed (tiled) before it reaches the metric core, so
+    EVERY core — welford, fisher, ring-buffer low-rank — sees the identical
+    full ensemble it would see on one device. The gather moves the whole
+    ``(M, d)`` block once per step; moment-psum fast paths for the welford
+    cores exist in :func:`blackjax_tpu.adaptation.mass_matrix.welford_algorithm`
+    if that ever dominates."""
     da_init, da_update, da_final = dual_averaging_adaptation(target_acceptance_rate)
 
     def _da_step(ss_state, acceptance_rate):
         if pool_acceptance:
+            if axis_name is not None:
+                total = jax.lax.psum(jnp.sum(acceptance_rate), axis_name)
+                count = acceptance_rate.shape[0] * jax.lax.axis_size(axis_name)
+                return da_update(ss_state, total / count)
             return da_update(ss_state, jnp.mean(acceptance_rate))
         return da_update(ss_state, acceptance_rate)
 
@@ -78,7 +92,10 @@ def _make_engine(
         from jax.flatten_util import ravel_pytree
 
         if pool_acceptance:
-            return jax.vmap(lambda t: ravel_pytree(t)[0])(tree)
+            flat = jax.vmap(lambda t: ravel_pytree(t)[0])(tree)
+            if axis_name is not None:
+                flat = jax.lax.all_gather(flat, axis_name, tiled=True)
+            return flat
         return ravel_pytree(tree)[0]
 
     def slow_update(position, grad, acceptance_rate, ws: StagedAdaptationState):
@@ -222,6 +239,7 @@ def staged_adaptation(
     adaptation_info_fn: Callable = return_all_adapt_info,
     n_chains: int = 1,
     max_grad_budget: Optional[int] = None,
+    axis_name: Optional[str] = None,
     **extra_parameters,
 ) -> AdaptationAlgorithm:
     """Run the staged warmup for any HMC-family ``algorithm`` (a module-like
@@ -230,6 +248,12 @@ def staged_adaptation(
     When ``n_chains > 1``, ``run`` expects ``position`` with a leading
     ``(n_chains, ...)`` axis; chains run vmapped at one shared step size with
     pooled acceptance and a metric estimated from the whole ensemble block.
+
+    ``axis_name`` (requires ``n_chains > 1``) shards the ensemble over a
+    mesh axis: call ``run`` inside ``jax.shard_map`` with this device's
+    ``n_chains / axis_size`` block and a replicated key. Pooled acceptance
+    completes with a psum and the metric core is fed the gathered global
+    block, so the tuned parameters match the single-device vmap run.
 
     ``metric="auto"`` (experimental) activates the meta-adaptation
     controller (:mod:`blackjax_tpu.adaptation.meta`): diagonal that
@@ -254,10 +278,14 @@ def staged_adaptation(
     mcmc_kernel = algorithm.build_kernel(**build_kernel_kwargs)
     multi_chain = n_chains > 1
 
+    if axis_name is not None and not multi_chain:
+        raise ValueError("axis_name requires n_chains > 1 (a sharded ensemble).")
+
     adapt_init, adapt_step, adapt_final = _make_engine(
         metric_core,
         target_acceptance_rate=target_acceptance_rate,
         pool_acceptance=multi_chain,
+        axis_name=axis_name,
     )
 
     if initial_metric_state is not None:
@@ -276,6 +304,11 @@ def staged_adaptation(
 
         if multi_chain:
             keys = jax.random.split(rng_key, n_chains)
+            if axis_name is not None:
+                local = n_chains // jax.lax.axis_size(axis_name)
+                keys = jax.lax.dynamic_slice_in_dim(
+                    keys, jax.lax.axis_index(axis_name) * local, local
+                )
             new_state, info = jax.vmap(
                 lambda k, s: mcmc_kernel(
                     k,

@@ -22,9 +22,25 @@ try:
     jax.config.update("jax_platforms", "cpu")
 except Exception:  # pragma: no cover — backend already initialized
     pass
-jax.config.update("jax_enable_x64", True)
+
+# Default test pass runs in x64 (reference parity: f64-CPU-friendly).
+# ``BJT_TEST_X64=0 pytest tests/ -m "not x64only"`` is the f32 pass — the
+# package must work in TPU-native f32 too; tests that genuinely need f64
+# (tight bit-level tolerances, the f32-fragile low-rank/meta estimators)
+# carry the ``x64only`` marker.
+X64 = os.environ.get("BJT_TEST_X64", "1") == "1"
+jax.config.update("jax_enable_x64", X64)
 
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    if X64:
+        return
+    skip = pytest.mark.skip(reason="requires x64 (run without BJT_TEST_X64=0)")
+    for item in items:
+        if "x64only" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture
