@@ -13,7 +13,7 @@ Numerical notes carried over from the reference's float32 audit:
 - the Fisher low-rank pipeline promotes to f64 internally when x64 is
   enabled (condition numbers reach ~1/gamma), casting back on return.
 """
-from typing import Literal, Union
+from typing import Literal, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -193,15 +193,38 @@ def fisher_score_low_rank(
     return LowRankInverseMassMatrix(sigma=sigma, U=U, lam=lam)
 
 
-def draws_singular_value_low_rank(draws: Array, max_rank: int) -> LowRankInverseMassMatrix:
+def draws_singular_value_low_rank(
+    draws: Array, max_rank: int, row_mask: Optional[Array] = None
+) -> LowRankInverseMassMatrix:
     """Low-rank payload from the thin SVD of standardized draws (draws only,
     no regularization, raw eigenvalues — the MCLMC-LRD pilot estimator).
-    Requires ``max_rank <= min(n, d)``."""
-    mean = jnp.mean(draws, axis=0)
-    sigma = jnp.std(draws, axis=0)
+    Requires ``max_rank <= min(n, d)``.
+
+    ``row_mask`` marks valid rows of a partially-filled raw-draw ring
+    (:func:`blackjax_tpu.adaptation.metric_buffers.raw_draw_ring_buffer`):
+    masked rows are zeroed AFTER standardization, which is exact — zero rows
+    contribute nothing to ``X^T X``, so the singular structure equals the
+    valid submatrix's."""
+    if row_mask is None:
+        mean = jnp.mean(draws, axis=0)
+        n = draws.shape[0]
+        var = jnp.mean((draws - mean[None, :]) ** 2, axis=0)
+    else:
+        n = jnp.maximum(jnp.sum(row_mask), 1.0)
+        masked = jnp.where(row_mask[:, None], draws, 0.0)
+        mean = jnp.sum(masked, axis=0) / n
+        var = (
+            jnp.sum(
+                jnp.where(row_mask[:, None], (draws - mean[None, :]) ** 2, 0.0),
+                axis=0,
+            )
+            / n
+        )
+    sigma = jnp.sqrt(var)
     sigma = jnp.where(sigma == 0.0, 1.0, sigma)
     standardized = (draws - mean[None, :]) / sigma[None, :]
-    n = draws.shape[0]
+    if row_mask is not None:
+        standardized = jnp.where(row_mask[:, None], standardized, 0.0)
 
     _, S, Vt = jnp.linalg.svd(standardized, full_matrices=False)
     lam = (S**2) / n

@@ -364,6 +364,70 @@ def _build_sample_cov_low_rank_core(*, buffer_size: int, max_rank: int = 10) -> 
     return MetricCore(init, update, final)
 
 
+class DrawsSVDCoreState(NamedTuple):
+    inverse_mass_matrix: LowRankInverseMassMatrix
+    ring: "RawDrawRingState"
+
+
+def _build_draws_svd_low_rank_core(
+    *, capacity: int, max_rank: int = 10, min_support: int = 3
+) -> MetricCore:
+    """Streaming draws-SVD low-rank core (the MCLMC-LRD pilot estimator fed
+    by the raw-draw ring): the ring PERSISTS across split boundaries with
+    row-granular forgetting (last ``capacity`` draws), and the metric is
+    recomputed at every boundary from the masked thin SVD.
+
+    Closes the ``requires_draws`` gap (reference wiring:
+    ``blackjax/adaptation/metric_buffers.py:861``,
+    ``metric_estimators.py:468``)."""
+    from blackjax_tpu.adaptation.metric_buffers import raw_draw_ring_buffer
+    from blackjax_tpu.adaptation.metric_estimators import (
+        draws_singular_value_low_rank,
+    )
+
+    def init(n_dims: int) -> DrawsSVDCoreState:
+        ring = raw_draw_ring_buffer(n_dims, capacity)
+        return DrawsSVDCoreState(
+            LowRankInverseMassMatrix(
+                sigma=jnp.ones(n_dims),
+                U=jnp.zeros((n_dims, max_rank)),
+                lam=jnp.ones(max_rank),
+            ),
+            ring.init(),
+        )
+
+    def update(state: DrawsSVDCoreState, position, grad=None):
+        del grad
+        ring = raw_draw_ring_buffer(state.ring.draws.shape[1], capacity)
+        flat = jnp.atleast_2d(
+            jax.vmap(lambda p: ravel_pytree(p)[0])(position)
+            if jnp.ndim(jax.tree.leaves(position)[0]) > 1
+            else ravel_pytree(position)[0]
+        )
+        return state._replace(ring=ring.update(state.ring, flat))
+
+    def final(state: DrawsSVDCoreState) -> DrawsSVDCoreState:
+        n_valid = jnp.minimum(state.ring.count, capacity)
+        mask = jnp.arange(capacity) < n_valid
+
+        def recompute():
+            payload = draws_singular_value_low_rank(
+                state.ring.draws, max_rank, row_mask=mask
+            )
+            return payload.sigma, payload.U, payload.lam
+
+        def keep():
+            imm = state.inverse_mass_matrix
+            return imm.sigma, imm.U, imm.lam
+
+        sigma, U, lam = jax.lax.cond(n_valid >= min_support, recompute, keep)
+        return DrawsSVDCoreState(
+            LowRankInverseMassMatrix(sigma, U, lam), state.ring
+        )
+
+    return MetricCore(init, update, final)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -415,6 +479,15 @@ REGISTRY: dict[str, MetricRecipe] = {
         emits="low_rank",
         provenance="Draws-only sample-covariance eigh low-rank (MEADS "
         "Scheme B): raw top-k, no regularization.",
+    ),
+    "draws_svd_low_rank": MetricRecipe(
+        "draws_svd_low_rank",
+        lambda **kw: _build_draws_svd_low_rank_core(**kw),
+        needs=frozenset({"positions"}),
+        emits="low_rank",
+        provenance="Streaming raw-draw ring + masked thin-SVD low-rank (the "
+        "MCLMC-LRD pilot estimator); persists across splits with "
+        "row-granular forgetting.",
     ),
 }
 

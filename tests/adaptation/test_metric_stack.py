@@ -191,9 +191,90 @@ def test_registry_names_and_validation():
         "fisher_low_rank",
         "fisher_low_rank_accumulating",
         "sample_cov_low_rank",
+        "draws_svd_low_rank",
     }
     with pytest.raises(ValueError, match="Unknown metric recipe"):
         lookup_recipe("nope")
+
+
+# ---------------------------------------------------------------------------
+# Raw-draw ring (requires_draws path)
+# ---------------------------------------------------------------------------
+
+
+def test_raw_draw_ring_moments_and_wraparound(rng_key):
+    """Partially filled: moments over valid rows only. Overfilled: the last
+    ``capacity`` rows win (row-granular forgetting)."""
+    d, capacity = 3, 8
+    ring = mb.raw_draw_ring_buffer(d, capacity)
+    draws = jax.random.normal(rng_key, (14, d)) + jnp.arange(14)[:, None]
+
+    state = ring.init()
+    state = ring.update(state, draws[:5])
+    block = ring.get_moments(state)
+    assert float(block.count) == 5
+    np.testing.assert_allclose(
+        np.asarray(block.mean), np.asarray(draws[:5]).mean(0), rtol=1e-12
+    )
+    n_valid, _ = ring.get_support(state)
+    assert float(n_valid) == 5
+
+    for i in range(5, 14):  # wrap: 14 rows through an 8-slot ring
+        state = ring.update(state, draws[i])
+    block = ring.get_moments(state)
+    assert float(block.count) == capacity
+    expected = np.asarray(draws[-capacity:])
+    np.testing.assert_allclose(np.asarray(block.mean), expected.mean(0), rtol=1e-12)
+    centered = expected - expected.mean(0)
+    np.testing.assert_allclose(np.asarray(block.m2), centered.T @ centered, rtol=1e-10)
+    # splits don't forget rows
+    assert float(ring.get_moments(ring.push_split(state)).count) == capacity
+
+
+def test_requires_draws_ring_buffer_constructs():
+    buf = mb.accumulating_split_pop_buffer(6, 2, requires_draws=True)
+    state = buf.init()
+    assert state.draws.shape[1] == 6
+
+
+def test_draws_svd_masked_matches_subset(rng_key):
+    """Masked SVD over a zero-padded ring equals the SVD of the valid rows."""
+    d, n = 5, 12
+    draws = jax.random.normal(rng_key, (n, d)) @ jnp.diag(
+        jnp.array([3.0, 1.0, 1.0, 0.5, 0.2])
+    )
+    full = me.draws_singular_value_low_rank(draws, 2)
+    padded = jnp.concatenate([draws, jnp.full((4, d), 99.0)])  # garbage rows
+    mask = jnp.arange(n + 4) < n
+    masked = me.draws_singular_value_low_rank(padded, 2, row_mask=mask)
+    np.testing.assert_allclose(np.asarray(masked.sigma), np.asarray(full.sigma), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(masked.lam), np.asarray(full.lam), rtol=1e-8)
+    # eigenvectors up to sign
+    for k in range(2):
+        a, b = np.asarray(masked.U[:, k]), np.asarray(full.U[:, k])
+        assert min(np.abs(a - b).max(), np.abs(a + b).max()) < 1e-8
+
+
+def test_draws_svd_recipe_recovers_planted_structure(rng_key):
+    """The streaming draws-SVD core recovers a planted dominant direction."""
+    d = 6
+    direction = jnp.ones(d) / jnp.sqrt(d)
+    key_z, key_e = jax.random.split(rng_key)
+    z = jax.random.normal(key_z, (64,))
+    noise = 0.05 * jax.random.normal(key_e, (64, d))
+    draws = 3.0 * z[:, None] * direction[None, :] + noise
+
+    core = lookup_recipe("draws_svd_low_rank").build_core(capacity=64, max_rank=2)
+    state = core.init(d)
+    state = core.update(state, draws)
+    state = core.final(state)
+    imm = state.inverse_mass_matrix
+    # in standardized coordinates the planted direction dominates; its
+    # whitened image is isotropic-ish, so check the top eigenvector aligns
+    top = np.asarray(imm.U[:, np.argmax(np.abs(np.asarray(imm.lam) - 1.0))])
+    alignment = abs(float(top @ direction))
+    assert alignment > 0.95
+    assert float(jnp.max(imm.lam)) > 2.0  # the planted direction is loud
 
 
 @pytest.mark.parametrize("recipe_name", ["fisher_diag", "welford_dense"])
