@@ -233,6 +233,20 @@ def main():
         ours_ess_per_sec / baseline["ess_per_sec"] if baseline else float("nan")
     )
 
+    # --- the other four BASELINE.md tracked configs (vs live reference) ----
+    tracked = {}
+    if os.environ.get("BENCH_TRACKED", "1") == "1":
+        try:
+            from benchmarks.tracked import run_tracked
+
+            tracked = run_tracked(
+                cache,
+                lambda c: json.dump(c, open(CACHE_PATH, "w")),
+                device.device_kind,
+            )
+        except Exception as exc:  # pragma: no cover
+            print(f"tracked configs failed: {exc}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -250,6 +264,7 @@ def main():
                 "baseline_ess_per_sec": (
                     round(baseline["ess_per_sec"], 3) if baseline else None
                 ),
+                "tracked": tracked,
             }
         )
     )

@@ -1,0 +1,402 @@
+"""The non-flagship tracked configs from BASELINE.md, each measured against
+the live reference (stock BlackJAX imported from /root/reference) on the
+same device.
+
+Called by ``bench.py`` (appended to the one-line JSON under ``"tracked"``);
+also runnable directly: ``python -m benchmarks.tracked``.
+
+Comparability notes per config:
+
+- ``hmc`` / ``sgld``: fixed integration work per transition on both sides,
+  so transitions/sec (resp. updates/sec) is the honest metric.
+- ``nuts_8schools``: both sides warm up with their own window adaptation on
+  one chain, then sample 64 vmapped chains; metric is min-ESS/sec measured
+  with OUR diagnostics for both.
+- ``smc``: full adaptive-tempering run (prior -> posterior) at 16k
+  particles; metric is 1/wall-seconds, vs_baseline the wall-time ratio.
+- ``cross_chain``: the full ChEES warmup wall time at 4,096 chains (what a
+  user pays); adapted trajectory lengths differ by design, so wall time —
+  not per-leapfrog throughput — is the comparable quantity.
+"""
+import json
+import sys
+import time
+import types
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+ON_TPU = jax.devices()[0].platform != "cpu"
+
+
+def _reference():
+    sys.path.insert(0, "/root/reference")
+    version_stub = types.ModuleType("blackjax._version")
+    version_stub.__version__ = "reference"
+    sys.modules.setdefault("blackjax._version", version_stub)
+    import blackjax
+
+    return blackjax
+
+
+def _timeit(fn: Callable, *args) -> float:
+    out = fn(*args)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    return time.perf_counter() - t0
+
+
+def _min_ess_per_sec(positions, elapsed):
+    """positions: (chains, steps, d) -> min-over-dims ESS / sec, computed
+    with our diagnostics (used for BOTH sides)."""
+    from blackjax_tpu.diagnostics import effective_sample_size
+
+    ess = np.asarray(
+        effective_sample_size(np.asarray(positions), chain_axis=0, sample_axis=1)
+    )
+    return float(np.min(ess) / elapsed)
+
+
+# --------------------------------------------------------------------------
+# 1. static HMC — 100-dim ill-conditioned Gaussian, 128 chains
+# --------------------------------------------------------------------------
+
+
+def config_hmc():
+    from blackjax_tpu.models.targets import ill_conditioned_gaussian
+
+    target = ill_conditioned_gaussian(100)
+    num_chains, num_steps = 128, 512 if ON_TPU else 64
+    params = dict(step_size=0.08, num_integration_steps=10)
+    key = jax.random.key(7)
+    positions = 0.5 * jax.random.normal(key, (num_chains, 100))
+    keys = jax.random.split(key, (num_steps, num_chains))
+
+    def measure(algo_factory):
+        algo = algo_factory()
+        states = jax.vmap(algo.init)(positions)
+
+        @jax.jit
+        def run(states):
+            def one(states, ks):
+                states, _ = jax.vmap(algo.step)(ks, states)
+                return states, states.position[:, 0]
+
+            return jax.lax.scan(one, states, keys)
+
+        elapsed = _timeit(run, states)
+        return num_chains * num_steps / elapsed
+
+    import blackjax_tpu
+
+    ours = measure(
+        lambda: blackjax_tpu.hmc(
+            target.logdensity_fn, inverse_mass_matrix=jnp.ones(100), **params
+        )
+    )
+
+    def ref():
+        blackjax = _reference()
+        return measure(
+            lambda: blackjax.hmc(
+                target.logdensity_fn, inverse_mass_matrix=jnp.ones(100), **params
+            )
+        )
+
+    return {"value": ours, "unit": "transitions/sec"}, ref
+
+
+# --------------------------------------------------------------------------
+# 2. NUTS + window adaptation — eight schools, 64 chains
+# --------------------------------------------------------------------------
+
+
+def config_nuts_8schools():
+    from blackjax_tpu.models.targets import eight_schools_noncentered
+
+    target = eight_schools_noncentered()
+    num_chains, num_steps, num_warmup = (64, 800, 400) if ON_TPU else (16, 200, 200)
+    key = jax.random.key(11)
+    warm_key, sample_key, pos_key = jax.random.split(key, 3)
+    positions = jnp.zeros((num_chains, 10)) + 0.1 * jax.random.normal(
+        pos_key, (num_chains, 10)
+    )
+
+    def measure(warmup_run, nuts_factory):
+        results = warmup_run()
+        parameters, state = results
+        algo = nuts_factory(parameters)
+        states = jax.vmap(algo.init)(positions)
+        keys = jax.random.split(sample_key, (num_steps, num_chains))
+
+        @jax.jit
+        def run(states):
+            def one(states, ks):
+                states, _ = jax.vmap(algo.step)(ks, states)
+                return states, states.position
+
+            return jax.lax.scan(one, states, keys)
+
+        elapsed = _timeit(run, states)
+        _, hist = run(states)  # (steps, chains, d)
+        return _min_ess_per_sec(np.asarray(hist).swapaxes(0, 1), elapsed)
+
+    import blackjax_tpu
+    from blackjax_tpu.adaptation.window_adaptation import window_adaptation
+    from blackjax_tpu.mcmc import nuts as nuts_mod
+
+    def ours_warmup():
+        res, _ = window_adaptation(nuts_mod, target.logdensity_fn).run(
+            warm_key, jnp.zeros(10), num_warmup
+        )
+        return res.parameters, res.state
+
+    ours = measure(
+        ours_warmup, lambda p: blackjax_tpu.nuts(target.logdensity_fn, **p)
+    )
+
+    def ref():
+        blackjax = _reference()
+
+        def ref_warmup():
+            warmup = blackjax.window_adaptation(blackjax.nuts, target.logdensity_fn)
+            (state, parameters), _ = warmup.run(warm_key, jnp.zeros(10), num_warmup)
+            return parameters, state
+
+        return measure(
+            ref_warmup, lambda p: blackjax.nuts(target.logdensity_fn, **p)
+        )
+
+    return {"value": ours, "unit": "min-ESS/sec"}, ref
+
+
+# --------------------------------------------------------------------------
+# 3. SGLD — logistic regression (covertype-class), minibatched
+# --------------------------------------------------------------------------
+
+
+def config_sgld():
+    from blackjax_tpu.models.targets import logistic_regression
+
+    target, X, y = logistic_regression(num_points=4096, dim=54)
+    num_steps, batch = (2000, 512) if ON_TPU else (500, 128)
+    key = jax.random.key(13)
+    data_size = X.shape[0]
+
+    def logprior_fn(w):
+        return -0.5 * jnp.sum(w**2)
+
+    def loglikelihood_fn(w, minibatch):
+        xb, yb = minibatch
+        logits = xb @ w
+        return jnp.sum(yb * logits - jnp.logaddexp(0.0, logits))
+
+    batch_keys = jax.random.split(key, num_steps)
+    batch_idx = jax.vmap(
+        lambda k: jax.random.randint(k, (batch,), 0, data_size)
+    )(batch_keys)
+    step_keys = jax.random.split(jax.random.key(14), num_steps)
+    w0 = jnp.zeros(54)
+
+    def measure(module):
+        grad_fn = module.grad_estimator(logprior_fn, loglikelihood_fn, data_size)
+        sgld = module_sgld(module, grad_fn)
+
+        @jax.jit
+        def run(w):
+            def one(w, xs):
+                k, idx = xs
+                w = sgld(k, w, (X[idx], y[idx]), 1e-5)
+                return w, ()
+
+            return jax.lax.scan(one, w, (step_keys, batch_idx))[0]
+
+        elapsed = _timeit(run, w0)
+        return num_steps / elapsed
+
+    def module_sgld(module, grad_fn):
+        return module.sgld_step(grad_fn)
+
+    import blackjax_tpu.sgmcmc.gradients as our_gradients
+    from blackjax_tpu import sgld as our_sgld
+
+    class OurModule:
+        grad_estimator = staticmethod(our_gradients.grad_estimator)
+        sgld_step = staticmethod(lambda g: our_sgld(g).step)
+
+    ours = measure(OurModule)
+
+    def ref():
+        blackjax = _reference()
+
+        class RefModule:
+            grad_estimator = staticmethod(
+                blackjax.sgmcmc.gradients.grad_estimator
+            )
+            sgld_step = staticmethod(lambda g: blackjax.sgld(g).step)
+
+        return measure(RefModule)
+
+    return {"value": ours, "unit": "updates/sec"}, ref
+
+
+# --------------------------------------------------------------------------
+# 4. adaptive tempered SMC — 16k particles, systematic resampling
+# --------------------------------------------------------------------------
+
+
+def config_smc():
+    d, n_particles = 10, 16384 if ON_TPU else 2048
+    obs = jnp.linspace(-1.0, 1.0, d)
+    logprior_fn = lambda x: -0.5 * jnp.sum(x**2) / 9.0
+    loglikelihood_fn = lambda x: -0.5 * jnp.sum((x - obs) ** 2)
+    key = jax.random.key(17)
+    init_particles = 3.0 * jax.random.normal(key, (n_particles, d))
+
+    def measure(pkg, mala_mod, resampling_mod):
+        algo = pkg.adaptive_tempered_smc(
+            logprior_fn,
+            loglikelihood_fn,
+            mala_mod.build_kernel(),
+            mala_mod.init,
+            {"step_size": jnp.full((1,), 0.1)},  # leading-1 axis = shared
+            resampling_mod.systematic,
+            target_ess=0.5,
+            num_mcmc_steps=5,
+        )
+        state = algo.init(init_particles)
+        step = jax.jit(algo.step)
+
+        def full_run():
+            s = algo.init(init_particles)
+            k = key
+            i = 0
+            while float(s.tempering_param) < 1.0 and i < 50:
+                k, sk = jax.random.split(k)
+                s, _ = step(sk, s)
+                i += 1
+            return s, i
+
+        s, i = full_run()  # compile + correctness
+        t0 = time.perf_counter()
+        s, i = full_run()
+        elapsed = time.perf_counter() - t0
+        return 1.0 / elapsed, elapsed, i
+
+    import blackjax_tpu
+    from blackjax_tpu.mcmc import mala as our_mala
+    from blackjax_tpu.smc import resampling as our_resampling
+
+    ours, our_elapsed, our_steps = measure(blackjax_tpu, our_mala, our_resampling)
+
+    def ref():
+        blackjax = _reference()
+        import blackjax.mcmc.mala as ref_mala
+        import blackjax.smc.resampling as ref_resampling
+
+        val, _, _ = measure(blackjax, ref_mala, ref_resampling)
+        return val
+
+    return {
+        "value": ours,
+        "unit": "runs/sec (full tempering)",
+        "elapsed_sec": round(our_elapsed, 3),
+        "tempering_steps": our_steps,
+    }, ref
+
+
+# --------------------------------------------------------------------------
+# 5. cross-chain ChEES — 4,096 chains
+# --------------------------------------------------------------------------
+
+
+def config_cross_chain():
+    import optax
+
+    from blackjax_tpu.models.targets import ill_conditioned_gaussian
+
+    target = ill_conditioned_gaussian(100)
+    num_chains, num_steps = (4096, 100) if ON_TPU else (256, 50)
+    key = jax.random.key(19)
+    positions = jax.random.normal(key, (num_chains, 100))
+
+    def measure(chees_factory):
+        adapt = chees_factory()
+
+        def run():
+            res, _ = adapt.run(key, positions, 0.05, optax.adam(0.25), num_steps)
+            return res
+
+        res = run()
+        jax.block_until_ready(jax.tree.leaves(res.state)[0])
+        t0 = time.perf_counter()
+        res = run()
+        jax.block_until_ready(jax.tree.leaves(res.state)[0])
+        return num_chains * num_steps / (time.perf_counter() - t0)
+
+    from blackjax_tpu.adaptation.chees_adaptation import chees_adaptation
+
+    ours = measure(lambda: chees_adaptation(target.logdensity_fn, num_chains))
+
+    def ref():
+        blackjax = _reference()
+        return measure(
+            lambda: blackjax.chees_adaptation(target.logdensity_fn, num_chains)
+        )
+
+    return {"value": ours, "unit": "chain-steps/sec (full warmup)"}, ref
+
+
+CONFIGS = {
+    "hmc": config_hmc,
+    "nuts_8schools": config_nuts_8schools,
+    "sgld": config_sgld,
+    "smc": config_smc,
+    "cross_chain": config_cross_chain,
+}
+
+
+def run_tracked(cache: dict, cache_write, device_kind: str, names=None):
+    """Measure every tracked config; reference sides are cached per device.
+    Returns {name: {value, unit, vs_baseline, baseline}}."""
+    out = {}
+    for name, config in CONFIGS.items():
+        if names and name not in names:
+            continue
+        try:
+            result, ref_fn = config()
+        except Exception as exc:  # pragma: no cover
+            print(f"tracked config {name} failed: {exc}", file=sys.stderr)
+            continue
+        cache_key = f"{device_kind}|tracked_{name}|v1"
+        if cache_key in cache:
+            baseline = cache[cache_key]
+        else:
+            try:
+                baseline = ref_fn()
+                cache[cache_key] = baseline
+                cache_write(cache)
+            except Exception as exc:  # pragma: no cover
+                print(f"tracked baseline {name} failed: {exc}", file=sys.stderr)
+                baseline = None
+        result["value"] = round(float(result["value"]), 4)
+        result["vs_baseline"] = (
+            round(result["value"] / baseline, 3) if baseline else None
+        )
+        result["baseline"] = round(float(baseline), 4) if baseline else None
+        out[name] = result
+    return out
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or None
+    cache = {}
+    results = run_tracked(
+        cache, lambda c: None, jax.devices()[0].device_kind, names
+    )
+    print(json.dumps(results, indent=2))

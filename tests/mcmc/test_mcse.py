@@ -112,6 +112,8 @@ CASES = [
 
 
 @pytest.mark.slow
+@pytest.mark.x64only  # the tier quantifies sub-percent bias; f32 rounding
+# contributes its own pseudo-bias at that scale
 @pytest.mark.parametrize("make_algorithm", CASES)
 def test_mcse(make_algorithm):
     algorithm = make_algorithm()
