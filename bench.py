@@ -35,6 +35,9 @@ WARMUP_STEPS = 400
 STEP_SIZE_FALLBACK = 0.25
 TRACKED_DIMS = 8  # ESS measured on the first k coordinates
 MAX_DOUBLINGS = 8
+# slot oversubscription for the continuous runner: m=4 measured best on v5e
+# (16.97M vs 14.37M grads/s at m=1; samples bit-identical either way)
+OVERSUB = int(os.environ.get("BENCH_OVERSUB", "4" if ON_TPU else "1"))
 
 
 def hierarchical_logdensity(x):
@@ -150,6 +153,7 @@ def bench_ours_fused(rng_key, step_size, imm):
             num_steps=NUM_STEPS,
             max_num_doublings=MAX_DOUBLINGS,
             track_fn=lambda s: s.position[:TRACKED_DIMS],
+            oversubscription=OVERSUB if NUM_CHAINS % OVERSUB == 0 else 1,
         )
     )
     final, hist, grads = run(rng_keys, states)

@@ -35,11 +35,20 @@ import pytest  # noqa: E402
 
 
 def pytest_collection_modifyitems(config, items):
-    if X64:
-        return
+    # durations-driven tiering: tests listed in tests/slow_tests.txt get the
+    # ``slow`` marker (regenerate the list from ``pytest --durations``), so
+    # the default CI pass is ``-m "not slow"`` and stays fast
+    slow_list_path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    slow_ids = set()
+    if os.path.exists(slow_list_path):
+        with open(slow_list_path) as fh:
+            slow_ids = {line.strip() for line in fh if line.strip()}
+    slow_marker = pytest.mark.slow
     skip = pytest.mark.skip(reason="requires x64 (run without BJT_TEST_X64=0)")
     for item in items:
-        if "x64only" in item.keywords:
+        if item.nodeid in slow_ids:
+            item.add_marker(slow_marker)
+        if not X64 and "x64only" in item.keywords:
             item.add_marker(skip)
 
 
