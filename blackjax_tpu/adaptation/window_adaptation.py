@@ -40,6 +40,13 @@ def window_adaptation(
     """Tune ``(step_size, inverse_mass_matrix)`` for an HMC-family algorithm
     with Stan's three-phase window schedule.
 
+    Parity note (deliberate omission): the reference also re-exports a frozen
+    legacy ``base()`` (``blackjax/adaptation/window_adaptation.py:62``),
+    deprecated upstream in favor of the staged engine. This package exposes
+    the staged engine directly (:mod:`blackjax_tpu.adaptation.
+    staged_adaptation`), which subsumes ``base()``'s composition surface, so
+    the legacy entry point is intentionally not reproduced.
+
     ``initial_inverse_mass_matrix`` seeds the first window's geometry;
     ``imm_shrinkage_to_previous`` is a pseudo-count blending each window's
     estimate toward the previous window's IMM (0 = Stan behavior).
