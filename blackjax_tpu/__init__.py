@@ -200,6 +200,15 @@ mgrad_gaussian = generate_top_level_api_from(_marginal_latent_gaussian)
 gist_step_size = generate_top_level_api_from(_gist_step_size)
 gist_trajectory_length = generate_top_level_api_from(_gist_trajectory_length)
 
+# Pallas fast path: registered-analytic-target chain-blocked HMC (the
+# package attribute `ops.fused_hmc` is shadowed by the class, so resolve the
+# MODULE through importlib)
+import importlib as _importlib  # noqa: E402
+
+fused_hmc = generate_top_level_api_from(
+    _importlib.import_module("blackjax_tpu.ops.fused_hmc")
+)
+
 laplace_hmc = generate_top_level_api_from(_laplace_hmc)
 laplace_mhmc = GenerateSamplingAPI(
     functools.partial(
@@ -315,6 +324,7 @@ __all__ = [
     "util",
     "dual_averaging",
     "hmc",
+    "fused_hmc",
     "mhmc",
     "multinomial_hmc",
     "nuts",

@@ -9,15 +9,27 @@ sampling / accept run as batched XLA, and the entire trajectory runs inside
 This is the registered-target fast path; arbitrary logdensities keep the
 generic ``blackjax_tpu.hmc`` vmap path.
 """
-from typing import NamedTuple
+from typing import NamedTuple, Union
 
 import jax
 import jax.numpy as jnp
 
-from blackjax_tpu.ops.fused_leapfrog import TargetKernel, fused_leapfrog
+from blackjax_tpu.base import SamplingAlgorithm
+from blackjax_tpu.ops.fused_leapfrog import (
+    TargetKernel,
+    fused_leapfrog,
+    get_registered_target,
+)
 from blackjax_tpu.types import Array, PRNGKey
 
-__all__ = ["FusedHMCState", "FusedHMCInfo", "fused_hmc"]
+__all__ = [
+    "FusedHMCState",
+    "FusedHMCInfo",
+    "fused_hmc",
+    "init",
+    "build_kernel",
+    "as_top_level_api",
+]
 
 
 class FusedHMCState(NamedTuple):
@@ -99,3 +111,75 @@ class fused_hmc:
             FusedHMCState(new_positions, new_logdensities),
             FusedHMCInfo(p_accept, accept, energy1),
         )
+
+
+# ---------------------------------------------------------------------------
+# SamplingAlgorithm protocol adapters (same registry contract as the generic
+# samplers: init / build_kernel / as_top_level_api)
+# ---------------------------------------------------------------------------
+
+
+def _resolve_target(target, dim=None) -> TargetKernel:
+    if isinstance(target, TargetKernel):
+        return target
+    return get_registered_target(target, dim)
+
+
+def init(position: Array, target: Union[TargetKernel, str], dim=None):
+    """``position``: a ``(C, d)`` chain block (this sampler is chain-blocked
+    by construction; a single chain is a ``(1, d)`` block)."""
+    target = _resolve_target(target, dim if dim is not None else position.shape[-1])
+    positions = jnp.atleast_2d(jnp.asarray(position, jnp.float32))
+    return FusedHMCState(positions, target.logdensity_fn(positions))
+
+
+def build_kernel(tile_chains: int = 256, interpret: bool = False):
+    def kernel(
+        rng_key: PRNGKey,
+        state: FusedHMCState,
+        target: Union[TargetKernel, str],
+        step_size: float,
+        inverse_mass_matrix: Array,
+        num_integration_steps: int,
+    ):
+        target = _resolve_target(target, state.positions.shape[-1])
+        sampler = fused_hmc(
+            target,
+            step_size,
+            inverse_mass_matrix,
+            num_integration_steps,
+            tile_chains=tile_chains,
+            interpret=interpret,
+        )
+        return sampler.step(rng_key, state)
+
+    return kernel
+
+
+def as_top_level_api(
+    target: Union[TargetKernel, str],
+    step_size: float,
+    inverse_mass_matrix: Array,
+    num_integration_steps: int,
+    *,
+    dim=None,
+    tile_chains: int = 256,
+    interpret: bool = False,
+) -> SamplingAlgorithm:
+    """``blackjax_tpu.fused_hmc(...)`` — the registered-analytic-target HMC
+    fast path as a standard :class:`SamplingAlgorithm`. ``target`` is a
+    :class:`TargetKernel` or a registered target name (resolved against
+    ``dim``, defaulting to the position block's trailing dimension)."""
+    kernel = build_kernel(tile_chains=tile_chains, interpret=interpret)
+
+    def init_fn(position, rng_key=None):
+        del rng_key
+        return init(position, target, dim)
+
+    def step_fn(rng_key: PRNGKey, state):
+        return kernel(
+            rng_key, state, target, step_size, inverse_mass_matrix,
+            num_integration_steps,
+        )
+
+    return SamplingAlgorithm(init_fn, step_fn)

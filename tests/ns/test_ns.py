@@ -72,6 +72,25 @@ def test_nsswig_runs(rng_key):
     assert float(state.particles.loglikelihood.min()) > -1e10
 
 
+@pytest.mark.slow
+def test_nsswig_evidence_and_posterior(rng_key):
+    """The SwiG inner kernel must pass the same statistical gate as plain
+    NSS: analytic evidence within tolerance, posterior mean recovered from
+    the finalized dead set."""
+    algo = blackjax_tpu.nsswig(logprior, loglik, num_inner_steps=5, num_delete=20)
+    state, dead = _run_ns(algo, rng_key, num_steps=120)
+
+    logz = float(jnp.logaddexp(state.integrator.logZ, state.integrator.logZ_live))
+    assert abs(logz - TRUE_LOGZ) < 0.35, (logz, TRUE_LOGZ)
+
+    final = ns_utils.finalise(state, dead)
+    samples = ns_utils.sample(rng_key, final, 2000)
+    np.testing.assert_allclose(
+        np.asarray(samples.position).mean(0), POST_MEAN, atol=0.1
+    )
+    assert float(ns_utils.ess(rng_key, final)) > 50
+
+
 def test_compute_num_live_constant_run():
     """For a standard single-delete run, the effective live count at every
     death equals num_live."""
