@@ -326,18 +326,25 @@ def config_cross_chain():
     positions = jax.random.normal(key, (num_chains, 100))
 
     def measure(chees_factory):
+        # grad-normalized: the two libraries adapt to different trajectory
+        # lengths by design, so compare leapfrog-gradient throughput, not
+        # warmup wall time
         adapt = chees_factory()
 
-        def run():
-            res, _ = adapt.run(key, positions, 0.05, optax.adam(0.25), num_steps)
-            return res
+        @jax.jit
+        def run(key, positions):
+            res, info = adapt.run(key, positions, 0.05, optax.adam(0.25), num_steps)
+            # AdaptationInfo(state, info, adaptation_state) in both libraries;
+            # num_integration_steps is (num_steps, num_chains)
+            total_grads = jnp.sum(info.info.num_integration_steps)
+            return jax.tree.leaves(res.state)[0].sum(), total_grads
 
-        res = run()
-        jax.block_until_ready(jax.tree.leaves(res.state)[0])
+        _, grads = run(key, positions)
+        jax.block_until_ready(grads)
         t0 = time.perf_counter()
-        res = run()
-        jax.block_until_ready(jax.tree.leaves(res.state)[0])
-        return num_chains * num_steps / (time.perf_counter() - t0)
+        s, grads = run(key, positions)
+        jax.block_until_ready(s)
+        return float(grads) / (time.perf_counter() - t0)
 
     from blackjax_tpu.adaptation.chees_adaptation import chees_adaptation
 
@@ -349,7 +356,7 @@ def config_cross_chain():
             lambda: blackjax.chees_adaptation(target.logdensity_fn, num_chains)
         )
 
-    return {"value": ours, "unit": "chain-steps/sec (full warmup)"}, ref
+    return {"value": ours, "unit": "leapfrog-grads/sec (full warmup)"}, ref
 
 
 CONFIGS = {
@@ -373,7 +380,7 @@ def run_tracked(cache: dict, cache_write, device_kind: str, names=None):
         except Exception as exc:  # pragma: no cover
             print(f"tracked config {name} failed: {exc}", file=sys.stderr)
             continue
-        cache_key = f"{device_kind}|tracked_{name}|v1"
+        cache_key = f"{device_kind}|tracked_{name}|v2"
         if cache_key in cache:
             baseline = cache[cache_key]
         else:
