@@ -42,10 +42,12 @@ def adjusted_mclmc_proposal(
     divergence_threshold: float = 1000,
     *,
     sample_proposal: Callable = static_binomial_sampling,
+    max_num_integration_steps: int = None,
 ) -> Callable:
     """Integrate the stochastic isokinetic dynamics ``num_integration_steps``
     times and Metropolis-accept the endpoint against the accumulated energy
-    change."""
+    change. ``max_num_integration_steps`` (static) enables the masked
+    fixed-trip loop for traced per-chain step counts."""
 
     def one_step(i, carry):
         state, kinetic_sum, rng_key = carry
@@ -53,12 +55,27 @@ def adjusted_mclmc_proposal(
         next_state, dK = integrator(state, step_size, L_proposal_factor, step_key)
         return next_state, kinetic_sum + dK, next_key
 
+    def masked_one_step(i, carry):
+        # statically-bounded loop for traced per-chain step counts: freeze
+        # the whole carry (state, kinetic sum, AND key stream) past the
+        # drawn count — bit-identical to running exactly n steps
+        new = one_step(i, carry)
+        return jax.tree.map(
+            lambda a, b: jnp.where(i < num_integration_steps, a, b), new, carry
+        )
+
     def generate(rng_key, state: integrators.IntegratorState):
         # zero derived from data so it carries the right sharding type
         kinetic0 = state.logdensity * 0.0
-        end_state, kinetic_sum, rng_key = jax.lax.fori_loop(
-            0, num_integration_steps, one_step, (state, kinetic0, rng_key)
-        )
+        if max_num_integration_steps is None:
+            end_state, kinetic_sum, rng_key = jax.lax.fori_loop(
+                0, num_integration_steps, one_step, (state, kinetic0, rng_key)
+            )
+        else:
+            end_state, kinetic_sum, rng_key = jax.lax.fori_loop(
+                0, max_num_integration_steps, masked_one_step,
+                (state, kinetic0, rng_key),
+            )
 
         new_energy = -end_state.logdensity
         delta_energy = end_state.logdensity - state.logdensity - kinetic_sum
@@ -84,8 +101,11 @@ def adjusted_mclmc_proposal(
 def build_kernel(
     integrator: Callable = integrators.isokinetic_mclachlan,
     divergence_threshold: float = 1000,
+    max_integration_steps: int = None,
 ):
-    """Adjusted MCLMC kernel with full momentum resampling per transition."""
+    """Adjusted MCLMC kernel with full momentum resampling per transition.
+    ``max_integration_steps`` (static) enables the masked fixed-trip
+    integration loop for traced per-chain step counts."""
 
     def kernel(
         rng_key: PRNGKey,
@@ -109,6 +129,7 @@ def build_kernel(
             L_proposal_factor * (num_integration_steps * step_size),
             num_integration_steps,
             divergence_threshold,
+            max_num_integration_steps=max_integration_steps,
         )
         proposal, info, _ = generate(
             key_integrator,

@@ -95,10 +95,20 @@ def build_kernel(
     next_random_arg_fn: Callable = _fresh_key,
     integration_steps_fn: Callable = _uniform_steps,
     build_proposal: Callable = hmc_proposal,
+    max_integration_steps: int = None,
 ):
-    """Dynamic-trajectory-length HMC as a lift of the static HMC kernel."""
+    """Dynamic-trajectory-length HMC as a lift of the static HMC kernel.
+
+    ``max_integration_steps`` (static upper bound on what
+    ``integration_steps_fn`` can draw) switches the integration to a masked
+    fixed-trip loop — essential when the drawn counts differ per chain
+    under vmap (measured 15x on v5e; see
+    ``trajectory.static_integration``)."""
     static_kernel = build_static_hmc_kernel(
-        integrator, divergence_threshold, build_proposal
+        integrator,
+        divergence_threshold,
+        build_proposal,
+        max_num_integration_steps=max_integration_steps,
     )
 
     def kernel(
@@ -123,11 +133,12 @@ def as_top_level_api(
     integration_steps_fn: Callable = _uniform_steps,
     integration_steps_params: tuple = (),
     build_proposal: Callable = hmc_proposal,
+    max_integration_steps: int = None,
 ) -> SamplingAlgorithm:
     """``blackjax_tpu.dynamic_hmc(...)``."""
     kernel = build_kernel(
         integrator, divergence_threshold, next_random_arg_fn,
-        integration_steps_fn, build_proposal,
+        integration_steps_fn, build_proposal, max_integration_steps,
     )
     return build_sampling_algorithm(
         kernel, init, logdensity_fn,

@@ -73,14 +73,22 @@ def build_kernel(
     integrator: Callable = integrators.velocity_verlet,
     divergence_threshold: float = 1000,
     build_proposal: Callable = None,
+    max_num_integration_steps: int = None,
 ):
     """The HMC kernel spine: momentum refresh -> trajectory -> proposal rule.
 
     Tunables (``step_size``, ``inverse_mass_matrix``,
     ``num_integration_steps``) are per-call arguments so adaptation loops
     can retune them without re-closing (and re-tracing) anything.
+    ``max_num_integration_steps`` (static) enables the masked fixed-trip
+    integration loop for traced per-chain step counts (drawn-length lifts).
     """
     propose = hmc_proposal if build_proposal is None else build_proposal
+    propose_kwargs = (
+        {}
+        if max_num_integration_steps is None
+        else {"max_num_integration_steps": max_num_integration_steps}
+    )
 
     def kernel(
         rng_key: PRNGKey,
@@ -97,6 +105,7 @@ def build_kernel(
             step_size,
             num_integration_steps,
             divergence_threshold,
+            **propose_kwargs,
         )
         key_refresh, key_propose = jax.random.split(rng_key)
         phase_point = integrators.IntegratorState(
@@ -119,14 +128,24 @@ def hmc_proposal(
     divergence_threshold: float = 1000,
     *,
     sample_proposal: Callable = static_binomial_sampling,
+    max_num_integration_steps: int = None,
 ) -> Callable:
     """Classic endpoint HMC: the proposal is the momentum-flipped end of the
-    trajectory; accept with probability ``min(1, exp(H(z0) - H(z1)))``."""
+    trajectory; accept with probability ``min(1, exp(H(z0) - H(z1)))``.
+
+    Pass a static ``max_num_integration_steps`` when ``num_integration_steps``
+    is traced and per-chain (drawn-length kernels): the integration runs as
+    a statically-bounded masked loop (see
+    :func:`blackjax_tpu.mcmc.trajectory.static_integration`)."""
     roll_forward = trajectory.static_integration(integrator)
     total_energy = hmc_energy(kinetic_energy)
 
     def generate(rng_key, head: integrators.IntegratorState):
-        tail = flip_momentum(roll_forward(head, step_size, num_integration_steps))
+        tail = flip_momentum(
+            roll_forward(
+                head, step_size, num_integration_steps, max_num_integration_steps
+            )
+        )
         h_tail = total_energy(tail)
         energy_drop = safe_energy_diff(total_energy(head), h_tail)
         landed, (accepted, p_accept, extra) = sample_proposal(
