@@ -256,6 +256,23 @@ def build_tempered_kernel(
     ) -> tuple[tempered.TemperedSMCState, SMCInfo]:
         delta = tempering_param - state.tempering_param
 
+        # shared vs per-particle parameter split (reference convention:
+        # scalar or leading axis of length 1 = shared, ``from_mcmc.py:9``).
+        # Unshared parameters are per-SLOT positional — the lockstep step
+        # does not resample them either — so under sharding they are simply
+        # this device's (n_local, ...) block and need no exchange.
+        def _is_shared(v):
+            return jnp.ndim(v) == 0 or jnp.shape(v)[0] == 1
+
+        shared = {
+            k: (v if jnp.ndim(v) == 0 else v[0])
+            for k, v in mcmc_parameters.items()
+            if _is_shared(v)
+        }
+        unshared = {
+            k: v for k, v in mcmc_parameters.items() if not _is_shared(v)
+        }
+
         def log_weights_fn(position):
             return delta * loglikelihood_fn(position)
 
@@ -264,19 +281,23 @@ def build_tempered_kernel(
                 position
             )
 
-        def mcmc_kernel(key, position):
+        def mcmc_kernel(key, position, particle_params):
             mcmc_state = mcmc_init_fn(position, tempered_logposterior_fn)
 
             def body(mcmc_state, key):
                 return mcmc_step_fn(
-                    key, mcmc_state, tempered_logposterior_fn, **mcmc_parameters
+                    key,
+                    mcmc_state,
+                    tempered_logposterior_fn,
+                    **shared,
+                    **particle_params,
                 )
 
             last, info = lax.scan(body, mcmc_state, jax.random.split(key, num_mcmc_steps))
             return last.position, info
 
         def update_fn(keys, particles, _params):
-            return jax.vmap(mcmc_kernel)(keys, particles)
+            return jax.vmap(mcmc_kernel)(keys, particles, unshared)
 
         smc_state, info = sharded_step(
             rng_key,
@@ -390,7 +411,7 @@ def run_adaptive_tempered_smc(
         axis_name=axis_name,
     )
 
-    def run(rng_key, particles):
+    def run(rng_key, particles, params):
         n_local = jax.tree.leaves(particles)[0].shape[0]
         n_total = n_local * lax.axis_size(axis_name)
         state = tempered.TemperedSMCState(
@@ -404,7 +425,7 @@ def run_adaptive_tempered_smc(
         def body(carry):
             state, key, i, log_z = carry
             key, subkey = jax.random.split(key)
-            state, info = kernel(subkey, state, mcmc_parameters)
+            state, info = kernel(subkey, state, params)
             return state, key, i + 1, log_z + info.log_likelihood_increment
 
         state, _, n, log_z = lax.while_loop(
@@ -415,10 +436,16 @@ def run_adaptive_tempered_smc(
         )
 
     p, rep = PartitionSpec(axis_name), PartitionSpec()
+    # shared parameters (scalar / leading axis 1) replicate; per-particle
+    # parameters shard alongside the particles
+    param_specs = jax.tree.map(
+        lambda v: rep if (jnp.ndim(v) == 0 or jnp.shape(v)[0] == 1) else p,
+        mcmc_parameters,
+    )
     sharded = jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(rep, p),
+        in_specs=(rep, p, param_specs),
         out_specs=ShardedSMCResult(
             jax.tree.map(lambda _: p, initial_particles), p, rep, rep, rep
         ),
@@ -427,4 +454,4 @@ def run_adaptive_tempered_smc(
     initial_particles = jax.device_put(
         initial_particles, NamedSharding(mesh, p)
     )
-    return sharded(rng_key, initial_particles)
+    return sharded(rng_key, initial_particles, mcmc_parameters)

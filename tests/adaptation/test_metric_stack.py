@@ -205,6 +205,7 @@ def test_registry_names_and_validation():
 def test_raw_draw_ring_moments_and_wraparound(rng_key):
     """Partially filled: moments over valid rows only. Overfilled: the last
     ``capacity`` rows win (row-granular forgetting)."""
+    tight = 1e-12 if jax.config.jax_enable_x64 else 1e-5
     d, capacity = 3, 8
     ring = mb.raw_draw_ring_buffer(d, capacity)
     draws = jax.random.normal(rng_key, (14, d)) + jnp.arange(14)[:, None]
@@ -214,7 +215,7 @@ def test_raw_draw_ring_moments_and_wraparound(rng_key):
     block = ring.get_moments(state)
     assert float(block.count) == 5
     np.testing.assert_allclose(
-        np.asarray(block.mean), np.asarray(draws[:5]).mean(0), rtol=1e-12
+        np.asarray(block.mean), np.asarray(draws[:5]).mean(0), rtol=tight
     )
     n_valid, _ = ring.get_support(state)
     assert float(n_valid) == 5
@@ -224,9 +225,9 @@ def test_raw_draw_ring_moments_and_wraparound(rng_key):
     block = ring.get_moments(state)
     assert float(block.count) == capacity
     expected = np.asarray(draws[-capacity:])
-    np.testing.assert_allclose(np.asarray(block.mean), expected.mean(0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(block.mean), expected.mean(0), rtol=tight)
     centered = expected - expected.mean(0)
-    np.testing.assert_allclose(np.asarray(block.m2), centered.T @ centered, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(block.m2), centered.T @ centered, rtol=tight * 100)
     # splits don't forget rows
     assert float(ring.get_moments(ring.push_split(state)).count) == capacity
 

@@ -140,6 +140,29 @@ def test_sharded_step_matches_lockstep(rng_key):
     )
 
 
+def test_sharded_tempered_with_per_particle_parameters(rng_key):
+    """Unshared (per-slot) MCMC parameters shard alongside the particles and
+    reach the kernel row-wise; the run must execute and stay finite."""
+    d, n_particles = 2, 64
+    obs = jnp.array([1.0, -0.5])
+    result = psmc.run_adaptive_tempered_smc(
+        rng_key,
+        3.0 * jax.random.normal(jax.random.key(5), (n_particles, d)),
+        lambda x: -0.5 * jnp.sum(x**2) / 9.0,
+        lambda x: -0.5 * jnp.sum((x - obs) ** 2),
+        mala.build_kernel(),
+        mala.init,
+        # per-particle step sizes (leading axis == n_particles => unshared)
+        {"step_size": jnp.linspace(0.05, 0.3, n_particles)},
+        particles_mesh(),
+        target_ess=0.5,
+        num_mcmc_steps=2,
+        max_steps=30,
+    )
+    assert float(result.tempering_param) == pytest.approx(1.0)
+    assert np.all(np.isfinite(np.asarray(result.particles)))
+
+
 @pytest.mark.slow
 def test_sharded_adaptive_tempered_recovers_posterior(rng_key):
     """Conjugate check: prior N(0, sigma0^2 I), likelihood N(mu | x, I) on d

@@ -66,7 +66,8 @@ def test_maximum_eigenvalue_forms_agree(rng_key):
     diag = jnp.diagonal(g)
     first = jnp.sum(diag) / n
     second = (jnp.sum(g**2) - jnp.sum(diag**2)) / (n * (n - 1))
-    np.testing.assert_allclose(float(gram), float(second / first), rtol=1e-10)
+    tight = 1e-10 if jax.config.jax_enable_x64 else 1e-4
+    np.testing.assert_allclose(float(gram), float(second / first), rtol=tight)
 
     sharded = jax.shard_map(
         lambda x: maximum_eigenvalue(x, "chains"),
@@ -75,7 +76,7 @@ def test_maximum_eigenvalue_forms_agree(rng_key):
         out_specs=REP,
         check_vma=False,
     )(X)
-    np.testing.assert_allclose(float(sharded), float(gram), rtol=1e-10)
+    np.testing.assert_allclose(float(sharded), float(gram), rtol=tight)
 
 
 def test_chees_update_bit_matches_vmap(rng_key):
