@@ -112,7 +112,11 @@ def _positions(rng_key, scheme: str, n_local: int, n_total: int, shard: Array, d
     raise ValueError(f"unknown resampling scheme: {scheme}")
 
 
-def make_resampler(scheme: str = "systematic", axis_name: str = "particles"):
+def make_resampler(
+    scheme: str = "systematic",
+    axis_name: str = "particles",
+    num_resampled: Optional[int] = None,
+):
     """Build a fused resample+exchange for a particle-sharded ensemble.
 
     Returns ``fn(rng_key, weights, particles) -> (particles, ancestors)``
@@ -120,6 +124,11 @@ def make_resampler(scheme: str = "systematic", axis_name: str = "particles"):
     weights, ``particles`` the local block, and ``ancestors`` the chosen
     global ancestor index per local output slot. ``rng_key`` must be
     replicated across the mesh axis.
+
+    ``num_resampled`` (GLOBAL count, divisible by the axis size) draws fewer
+    output slots than input particles — the waste-free variant's M-seeds
+    resample (reference ``smc/base.py:98`` with ``num_resampled < N``);
+    each shard produces its ``num_resampled / ndev`` block.
     """
 
     def resample(rng_key: PRNGKey, weights: Array, particles: ArrayTree):
@@ -127,6 +136,8 @@ def make_resampler(scheme: str = "systematic", axis_name: str = "particles"):
         me = lax.axis_index(axis_name)
         n_local = weights.shape[0]
         n_total = n_local * ndev
+        m_total = n_total if num_resampled is None else num_resampled
+        m_local = m_total // ndev
 
         local_cdf = jnp.cumsum(weights)
         shard_totals = lax.all_gather(local_cdf[-1], axis_name)  # (ndev,)
@@ -134,7 +145,7 @@ def make_resampler(scheme: str = "systematic", axis_name: str = "particles"):
         total = boundaries[-1]
         lower = boundaries - shard_totals  # exclusive scan over shards
 
-        pos = _positions(rng_key, scheme, n_local, n_total, me, weights.dtype)
+        pos = _positions(rng_key, scheme, m_local, m_total, me, weights.dtype)
         pos = pos * total  # unnormalized-CDF scale
 
         perm = [(i, (i + 1) % ndev) for i in range(ndev)]
@@ -161,8 +172,8 @@ def make_resampler(scheme: str = "systematic", axis_name: str = "particles"):
             return acc, anc, rotate(blk_cdf), jax.tree.map(rotate, blk_parts)
 
         init = (
-            particles,
-            jnp.zeros(n_local, dtype=jnp.int32),
+            jax.tree.map(lambda x: x[:m_local], particles),  # output-slot block
+            jnp.zeros(m_local, dtype=jnp.int32),
             local_cdf,
             particles,
         )
@@ -214,7 +225,8 @@ def sharded_step(
     particles, ancestors = resample_fn(key_resample, state.weights, state.particles)
 
     local_key = jax.random.fold_in(key_update, lax.axis_index(axis_name))
-    keys = jax.random.split(local_key, n_local)
+    # one key per resampled seed (== n_local except for waste-free variants)
+    keys = jax.random.split(local_key, jax.tree.leaves(particles)[0].shape[0])
     particles, update_info = update_fn(keys, particles, state.update_parameters)
 
     log_weights = weight_fn(particles)

@@ -14,6 +14,8 @@ import pytest
 
 import blackjax_tpu
 from blackjax_tpu.adaptation import metric_buffers as mb
+
+
 from blackjax_tpu.adaptation import metric_estimators as me
 from blackjax_tpu.adaptation.low_rank_adaptation import (
     _accumulating_buffer_capacity,
@@ -23,6 +25,8 @@ from blackjax_tpu.adaptation.low_rank_adaptation import (
 from blackjax_tpu.adaptation.metric_recipes import REGISTRY, lookup_recipe
 from blackjax_tpu.adaptation.staged_adaptation import staged_adaptation
 from blackjax_tpu.mcmc.metrics import LowRankInverseMassMatrix, default_metric
+
+TIGHT = 1e-10 if jax.config.jax_enable_x64 else 1e-5
 
 
 # ---------------------------------------------------------------------------
@@ -38,9 +42,9 @@ def test_cgl_merge_matches_numpy_dense():
     for chunk in np.split(xs, [7, 19, 26]):
         block = mb.cgl_update_batch(block, jnp.asarray(chunk))
     assert int(block.count) == 40
-    np.testing.assert_allclose(np.asarray(block.mean), xs.mean(0), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(block.mean), xs.mean(0), rtol=TIGHT)
     cov = np.asarray(block.m2) / 39
-    np.testing.assert_allclose(cov, np.cov(xs.T), rtol=1e-9)
+    np.testing.assert_allclose(cov, np.cov(xs.T), rtol=TIGHT * 10)
 
 
 def test_cgl_merge_two_absorbs_empty():
@@ -65,7 +69,7 @@ def test_ring_buffer_pops_oldest_split():
     block = buf.get_moments(state)
     assert int(block.count) == 60
     np.testing.assert_allclose(
-        np.asarray(block.m2) / 59, recent.var(0, ddof=1), rtol=1e-8
+        np.asarray(block.m2) / 59, recent.var(0, ddof=1), rtol=TIGHT * 100
     )
 
 
@@ -142,6 +146,8 @@ def _reconstruct_m_inv(sigma, U, lam):
     return sigma[:, None] * inner * sigma[None, :]
 
 
+@pytest.mark.x64only  # the fisher low-rank pipeline is documented
+# f32-fragile; with x64 globally disabled the internal promotion is a no-op
 def test_low_rank_metric_respects_mask():
     """Rows past n must not influence the estimated operator. (Compare the
     reconstructed M^{-1}, not raw factors — eigenvector sign/order is free.)"""
@@ -173,9 +179,9 @@ def test_eigenvalue_informativeness_selection():
     U_sel, lam_sel = me.select_top_eigenvalues_by_informativeness(
         lam, U, max_rank=4, cutoff=2.0
     )
-    kept = np.asarray(lam_sel)
+    kept = np.sort(np.asarray(lam_sel)[np.asarray(lam_sel) != 1.0])
     # cutoff 2 keeps only eigenvalues outside [1/2, 2]
-    assert set(np.round(kept[kept != 1.0], 2)) == {25.0, 0.01}
+    np.testing.assert_allclose(kept, [0.01, 25.0], rtol=1e-5)
 
 
 # ---------------------------------------------------------------------------

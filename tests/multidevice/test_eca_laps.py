@@ -158,3 +158,41 @@ def test_fused_nuts_runner_sharded(mesh, rng_key):
         np.asarray(final_sh.position), np.asarray(final_ref.position)
     )
     assert int(grads_sh) == int(grads_ref)
+
+
+def test_fused_nuts_runner_oversubscribed_sharded(mesh, rng_key):
+    """Slot oversubscription composes with shard_map: slots repack each
+    device's LOCAL chain block (chain c = s + j*P per shard), still
+    bit-identical to the unsharded m=1 run."""
+    from jax.sharding import PartitionSpec as P
+
+    from blackjax_tpu.mcmc.nuts import build_fused_many_steps
+
+    C, S, D = 32, 10, 4
+    ld = lambda x: -0.5 * jnp.sum(x**2 / jnp.array([1.0, 4.0, 0.25, 2.0]))
+    algo = blackjax_tpu.nuts(ld, step_size=0.25, inverse_mass_matrix=jnp.ones(D))
+    states = jax.vmap(algo.init)(jax.random.normal(rng_key, (C, D)))
+    step_keys = jax.random.split(jax.random.fold_in(rng_key, 1), S)
+    rng_keys = jax.vmap(lambda k: jax.random.split(k, C))(step_keys)
+
+    base = build_fused_many_steps(ld, 0.25, jnp.ones(D), num_steps=S)
+    _, hist_ref, grads_ref = jax.jit(base)(rng_keys, states)
+
+    over = build_fused_many_steps(
+        ld, 0.25, jnp.ones(D), num_steps=S, oversubscription=2
+    )
+
+    def run_wrapped(rng_keys, states):
+        final, hist, grads = over(rng_keys, states)
+        return hist, jax.lax.psum(grads, "chains")
+
+    hist_sh, grads_sh = jax.jit(
+        jax.shard_map(
+            run_wrapped,
+            mesh=mesh,
+            in_specs=(P(None, "chains"), P("chains")),
+            out_specs=(P("chains"), P()),
+        )
+    )(rng_keys, states)
+    np.testing.assert_array_equal(np.asarray(hist_sh), np.asarray(hist_ref))
+    assert int(grads_sh) == int(grads_ref)

@@ -78,6 +78,30 @@ def test_sharded_resampler_pytree_and_matrix_leaves(rng_key):
     np.testing.assert_array_equal(np.asarray(out["m"]), np.asarray(particles["m"][reference]))
 
 
+def test_sharded_resampler_num_resampled(rng_key):
+    """Waste-free-style reduced resample: M < N global output slots, same
+    ancestors as the single-device kernel asked for M samples."""
+    key_w, key_r = jax.random.split(rng_key)
+    weights = _random_weights(key_w)
+    M = 16
+    reference = resampling.systematic(key_r, weights, M)
+
+    mesh = particles_mesh()
+    p, rep = PartitionSpec("particles"), PartitionSpec()
+    resample = psmc.make_resampler("systematic", "particles", num_resampled=M)
+    particles = jnp.arange(N, dtype=jnp.float64)
+    out, anc = jax.shard_map(
+        lambda k, w, parts: resample(k, w, parts),
+        mesh=mesh,
+        in_specs=(rep, p, p),
+        out_specs=(p, p),
+        check_vma=False,
+    )(key_r, weights, particles)
+    assert out.shape == (M,)
+    np.testing.assert_array_equal(np.asarray(anc), np.asarray(reference))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(particles[reference]))
+
+
 def test_sharded_log_ess_matches_global(rng_key):
     from blackjax_tpu.smc.ess import log_ess as log_ess_single
 
