@@ -253,11 +253,30 @@ def build_tempered_kernel(
     num_mcmc_steps: int,
     resampling_scheme: str = "systematic",
     axis_name: str = "particles",
+    waste_free_p: Optional[int] = None,
 ) -> Callable:
     """Sharded analogue of :func:`blackjax_tpu.smc.tempered.build_kernel`:
     same incremental weights ``delta * loglik`` and rejuvenation target
     ``prior + lambda * loglik`` (parity: ``blackjax/smc/tempered.py:168-174``),
-    with the step's reductions and resampling mesh-aware."""
+    with the step's reductions and resampling mesh-aware.
+
+    ``waste_free_p`` switches the rejuvenation to the waste-free strategy
+    (Dau & Chopin 2020; reference ``blackjax/smc/waste_free.py:10``): resample
+    only ``N/p`` global seeds through the reduced-count exchange, run ``p-1``
+    MCMC steps per seed entirely shard-locally, and keep every intermediate
+    state so the cloud returns to ``N``. On a mesh this is strictly cheaper
+    than the plain kernel — the only cross-device data movement (the
+    resampling exchange) shrinks by ``p``x while the shard-local MCMC work is
+    identical. Requires ``num_mcmc_steps=None`` (the chain length is ``p-1``)
+    and shared (replicated) ``mcmc_parameters``; ``N/p`` must divide by the
+    mesh axis size."""
+    if waste_free_p is not None:
+        if num_mcmc_steps is not None:
+            raise ValueError(
+                "Waste-free SMC derives its chain length from p; "
+                "pass num_mcmc_steps=None."
+            )
+        num_mcmc_steps = waste_free_p - 1
     resample_fn = make_resampler(resampling_scheme, axis_name)
 
     def kernel(
@@ -311,12 +330,52 @@ def build_tempered_kernel(
         def update_fn(keys, particles, _params):
             return jax.vmap(mcmc_kernel)(keys, particles, unshared)
 
+        step_resample_fn = resample_fn
+        if waste_free_p is not None:
+            if unshared:
+                raise ValueError(
+                    "Sharded waste-free SMC requires shared (replicated) "
+                    f"mcmc_parameters; got per-particle: {sorted(unshared)}"
+                )
+            n_local = state.weights.shape[0]
+            n_total = n_local * lax.axis_size(axis_name)
+            if n_total % waste_free_p:
+                raise ValueError("p must divide the global particle count.")
+            step_resample_fn = make_resampler(
+                resampling_scheme, axis_name, num_resampled=n_total // waste_free_p
+            )
+
+            def chain_from(key, position):
+                mcmc_state = mcmc_init_fn(position, tempered_logposterior_fn)
+
+                def body(mcmc_state, key):
+                    new_state, info = mcmc_step_fn(
+                        key, mcmc_state, tempered_logposterior_fn, **shared
+                    )
+                    return new_state, (new_state.position, info)
+
+                _, (positions, infos) = lax.scan(
+                    body, mcmc_state, jax.random.split(key, num_mcmc_steps)
+                )
+                return positions, infos
+
+            def update_fn(keys, seeds, _params):  # noqa: F811
+                positions, infos = jax.vmap(chain_from)(keys, seeds)
+                # (m_local, p-1, ...) -> (m_local*(p-1), ...); keep the seeds
+                flat = jax.tree.map(
+                    lambda x: x.reshape((-1,) + x.shape[2:]), positions
+                )
+                all_particles = jax.tree.map(
+                    lambda s, c: jnp.concatenate([s, c]), seeds, flat
+                )
+                return all_particles, infos
+
         smc_state, info = sharded_step(
             rng_key,
             SMCState(state.particles, state.weights, {}),
             update_fn,
             jax.vmap(log_weights_fn),
-            resample_fn,
+            step_resample_fn,
             axis_name,
         )
         return (
@@ -339,6 +398,7 @@ def build_adaptive_tempered_kernel(
     root_solver: Callable = smc_solver.dichotomy,
     resampling_scheme: str = "systematic",
     axis_name: str = "particles",
+    waste_free_p: Optional[int] = None,
 ) -> Callable:
     """Sharded adaptive tempering: the dichotomy solver runs *replicated* on
     every device, its objective built from one psum'd global log-ESS per
@@ -352,6 +412,7 @@ def build_adaptive_tempered_kernel(
         num_mcmc_steps,
         resampling_scheme,
         axis_name,
+        waste_free_p,
     )
 
     def compute_delta(state: tempered.TemperedSMCState) -> Array:
@@ -396,10 +457,11 @@ def run_adaptive_tempered_smc(
     mcmc_parameters: dict,
     mesh,
     target_ess: float = 0.5,
-    num_mcmc_steps: int = 10,
+    num_mcmc_steps: Optional[int] = 10,
     max_steps: int = 100,
     resampling_scheme: str = "systematic",
     axis_name: Optional[str] = None,
+    waste_free_p: Optional[int] = None,
 ) -> ShardedSMCResult:
     """Run the full prior→posterior tempering loop with particles sharded
     over ``mesh``. Control crosses the device boundary once: the whole
@@ -409,6 +471,9 @@ def run_adaptive_tempered_smc(
     by the mesh axis size. ``mcmc_parameters`` are shared (replicated).
     Returns the final sharded state plus the accumulated log-normalizing
     constant (the tempered-SMC evidence estimate).
+
+    ``waste_free_p`` enables the waste-free rejuvenation strategy (pass
+    ``num_mcmc_steps=None`` with it; see :func:`build_tempered_kernel`).
     """
     if axis_name is None:
         axis_name = mesh.axis_names[0]
@@ -421,6 +486,7 @@ def run_adaptive_tempered_smc(
         target_ess,
         resampling_scheme=resampling_scheme,
         axis_name=axis_name,
+        waste_free_p=waste_free_p,
     )
 
     def run(rng_key, particles, params):

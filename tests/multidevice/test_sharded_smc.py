@@ -187,6 +187,60 @@ def test_sharded_tempered_with_per_particle_parameters(rng_key):
     assert np.all(np.isfinite(np.asarray(result.particles)))
 
 
+def test_sharded_waste_free_tempered(rng_key):
+    """Waste-free rejuvenation on the mesh: resample N/p global seeds through
+    the reduced exchange, expand shard-locally back to N, recover the
+    conjugate posterior (reference strategy: ``blackjax/smc/waste_free.py``)."""
+    d = 2
+    sigma0 = 3.0
+    obs = jnp.array([1.0, -0.5])
+    post_var = 1.0 / (1.0 / sigma0**2 + 1.0)
+    post_mean = post_var * obs
+
+    n_particles, p_len = 512, 4
+    key_init, key_run = jax.random.split(rng_key)
+    initial = sigma0 * jax.random.normal(key_init, (n_particles, d))
+
+    result = psmc.run_adaptive_tempered_smc(
+        key_run,
+        initial,
+        lambda x: -0.5 * jnp.sum(x**2) / sigma0**2,
+        lambda x: -0.5 * jnp.sum((x - obs) ** 2),
+        mala.build_kernel(),
+        mala.init,
+        {"step_size": 0.2},
+        particles_mesh(),
+        target_ess=0.6,
+        num_mcmc_steps=None,
+        waste_free_p=p_len,
+        max_steps=60,
+    )
+    assert float(result.tempering_param) == pytest.approx(1.0)
+    parts = np.asarray(result.particles)
+    assert parts.shape == (n_particles, d)  # the cloud returns to N
+    w = np.asarray(result.weights)
+    mean = (w[:, None] * parts).sum(0)
+    var = (w[:, None] * (parts - mean) ** 2).sum(0)
+    np.testing.assert_allclose(mean, np.asarray(post_mean), atol=0.2)
+    np.testing.assert_allclose(var, post_var, atol=0.2)
+
+
+def test_sharded_waste_free_rejects_per_particle_params(rng_key):
+    with pytest.raises(ValueError, match="shared"):
+        psmc.run_adaptive_tempered_smc(
+            rng_key,
+            jax.random.normal(jax.random.key(0), (64, 2)),
+            lambda x: -0.5 * jnp.sum(x**2),
+            lambda x: -0.5 * jnp.sum(x**2),
+            mala.build_kernel(),
+            mala.init,
+            {"step_size": jnp.linspace(0.05, 0.3, 64)},
+            particles_mesh(),
+            num_mcmc_steps=None,
+            waste_free_p=4,
+        )
+
+
 @pytest.mark.slow
 def test_sharded_adaptive_tempered_recovers_posterior(rng_key):
     """Conjugate check: prior N(0, sigma0^2 I), likelihood N(mu | x, I) on d
