@@ -79,6 +79,89 @@ def test_control_variates_reduce_variance(rng_key):
     assert cv_var < plain_var * 0.1
 
 
+def test_kernels_preserve_pytree_structure(rng_key):
+    """All four samplers must accept and return dict positions unchanged in
+    structure (reference behavior: ``tests/sgmcmc/test_kernels.py``)."""
+    data = jax.random.normal(rng_key, (DATA_SIZE, 1))
+    logprior = lambda th: -0.5 * (jnp.sum(th["a"] ** 2) + jnp.sum(th["b"] ** 2))
+    loglik = lambda th, y: -0.5 * jnp.sum((y - th["a"] - th["b"][0]) ** 2)
+    grad_fn = gradients.grad_estimator(logprior, loglik, DATA_SIZE)
+    position = {"a": jnp.zeros(1), "b": jnp.zeros(2)}
+    minibatch = data[:50]
+
+    for name, build in [
+        ("sgld", lambda: blackjax_tpu.sgld(grad_fn)),
+        ("sghmc", lambda: blackjax_tpu.sghmc(grad_fn, num_integration_steps=3)),
+    ]:
+        algo = build()
+        out = algo.step(rng_key, algo.init(position), minibatch, 1e-3)
+        assert jax.tree.structure(out) == jax.tree.structure(position), name
+        assert out["b"].shape == (2,), name
+
+    algo = blackjax_tpu.sgnht(grad_fn)
+    state = algo.init(position, rng_key)
+    out = algo.step(rng_key, state, minibatch, 1e-3)
+    assert jax.tree.structure(out.position) == jax.tree.structure(position)
+
+
+def test_sgld_temperature_zero_is_deterministic_ascent(rng_key):
+    """At temperature 0 the Langevin noise vanishes: two different keys give
+    the identical update, and it moves uphill along the posterior gradient."""
+    data, grad_fn, post_mean = _setup(rng_key)
+    algo = blackjax_tpu.sgld(grad_fn)
+    minibatch = data[:100]
+    pos = jnp.zeros(1)
+    k1, k2 = jax.random.split(rng_key)
+    out1 = algo.step(k1, pos, minibatch, 1e-4, temperature=0.0)
+    out2 = algo.step(k2, pos, minibatch, 1e-4, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    # the data were generated at theta*=1: from 0 the gradient points up
+    assert float(out1[0]) > 0.0
+
+
+def test_grad_estimator_is_unbiased(rng_key):
+    """Averaged over random minibatches, the stochastic gradient must match
+    the full-data gradient (the N/batch rescaling contract)."""
+    data, grad_fn, _ = _setup(rng_key)
+    logprior = lambda theta: -0.5 * jnp.sum(theta**2) / 10.0
+    loglik = lambda theta, y: -0.5 * jnp.sum((y - theta) ** 2)
+    full_grad = jax.grad(
+        lambda th: logprior(th) + loglik(th, data)
+    )(jnp.array([0.3]))
+
+    def one(key):
+        idx = jax.random.randint(key, (100,), 0, DATA_SIZE)
+        return grad_fn(jnp.array([0.3]), data[idx])
+
+    est = jax.vmap(one)(jax.random.split(rng_key, 4000)).mean(0)
+    np.testing.assert_allclose(
+        float(est[0]), float(full_grad[0]), rtol=0.05
+    )
+
+
+def test_csgld_zeta_zero_reduces_to_sgld(rng_key):
+    """With zeta=0 the contour drift rescaling is exactly 1, so the position
+    update must equal a plain SGLD step at the same temperature and key."""
+    data, grad_fn, _ = _setup(rng_key)
+    logprior = lambda theta: -0.5 * jnp.sum(theta**2) / 10.0
+    loglik = lambda theta, y: -0.5 * jnp.sum((y - theta) ** 2)
+    logdensity_est = gradients.logdensity_estimator(logprior, loglik, DATA_SIZE)
+
+    temperature = 0.01
+    csgld_algo = blackjax_tpu.csgld(
+        logdensity_est, grad_fn, zeta=0.0, temperature=temperature
+    )
+    sgld_algo = blackjax_tpu.sgld(grad_fn)
+
+    pos = jnp.array([0.4])
+    minibatch = data[:100]
+    out_c = csgld_algo.step(rng_key, csgld_algo.init(pos), minibatch, 1e-4)
+    out_s = sgld_algo.step(rng_key, pos, minibatch, 1e-4, temperature=temperature)
+    np.testing.assert_allclose(
+        np.asarray(out_c.position), np.asarray(out_s), rtol=1e-12
+    )
+
+
 def test_csgld_runs(rng_key):
     data, grad_fn, post_mean = _setup(rng_key)
     logprior = lambda theta: -0.5 * jnp.sum(theta**2) / 10.0

@@ -86,6 +86,49 @@ class TestEffectiveSampleSize:
         tail = float(ess_tail(x))
         assert bulk > 2000 and tail > 2000  # healthy iid chains
 
+    def test_ar1_quantitative(self, rng_key):
+        """For AR(1) with coefficient rho the asymptotic ESS fraction is
+        (1-rho)/(1+rho); the Geyer estimator must land near it."""
+        rho, n, chains = 0.5, 40_000, 4
+        eps = jax.random.normal(rng_key, (n, chains))
+
+        def ar1(carry, e):
+            x = rho * carry + jnp.sqrt(1.0 - rho**2) * e
+            return x, x
+
+        _, x = jax.lax.scan(ar1, jnp.zeros(chains), eps)
+        ess = float(effective_sample_size(x.T))
+        expected = chains * n * (1.0 - rho) / (1.0 + rho)
+        assert 0.85 * expected < ess < 1.15 * expected, (ess, expected)
+
+    def test_antithetic_chain_exceeds_sample_size(self, rng_key):
+        """Negative lag-1 autocorrelation gives super-efficient ESS > N —
+        the estimator must not clip it away (Geyer initial-sequence
+        behavior)."""
+        rho, n, chains = -0.6, 20_000, 4
+        eps = jax.random.normal(rng_key, (n, chains))
+
+        def ar1(carry, e):
+            x = rho * carry + jnp.sqrt(1.0 - rho**2) * e
+            return x, x
+
+        _, x = jax.lax.scan(ar1, jnp.zeros(chains), eps)
+        ess = float(effective_sample_size(x.T))
+        assert ess > 1.5 * chains * n
+
+    def test_axis_invariance(self, rng_key):
+        x = _iid_chains(rng_key)
+        a = effective_sample_size(x, chain_axis=0, sample_axis=1)
+        b = effective_sample_size(x.T, chain_axis=1, sample_axis=0)
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+    def test_heavy_tails_rank_normalized(self, rng_key):
+        """ess_bulk rank-normalizes, so iid Cauchy chains (infinite variance)
+        must still report a healthy bulk-ESS near the sample count."""
+        x = jax.random.cauchy(rng_key, (4, 2000))
+        bulk = float(ess_bulk(x))
+        assert 0.5 * 8000 < bulk < 1.5 * 8000
+
 
 class TestParetoKhat:
     def test_scalar_output(self, rng_key):

@@ -66,6 +66,55 @@ def test_multipathfinder(rng_key):
     np.testing.assert_allclose(np.asarray(samples).mean(0), np.asarray(LOC), atol=0.25)
 
 
+def test_elbo_improves_and_pytree_positions(rng_key):
+    """The tracked loss must decrease over training, and dict positions must
+    ride through init/step/sample with their structure intact."""
+    ld = lambda p: -0.5 * jnp.sum((p["w"] - 1.0) ** 2) - 0.5 * jnp.sum(
+        (p["b"] + 2.0) ** 2
+    )
+    algo = blackjax_tpu.meanfield_vi(ld, optax.adam(0.05), num_samples=30)
+    state = algo.init({"w": jnp.zeros(3), "b": jnp.zeros(2)})
+    step = jax.jit(algo.step)
+    losses = []
+    for i in range(400):
+        state, info = step(jax.random.fold_in(rng_key, i), state)
+        losses.append(float(info.elbo))
+    assert np.mean(losses[-50:]) < np.mean(losses[:50])
+    np.testing.assert_allclose(np.asarray(state.mu["w"]), 1.0, atol=0.2)
+    np.testing.assert_allclose(np.asarray(state.mu["b"]), -2.0, atol=0.2)
+    samples = algo.sample(rng_key, state, 100)
+    assert samples["w"].shape == (100, 3) and samples["b"].shape == (100, 2)
+
+
+def test_renyi_alpha_objective_trains(rng_key):
+    """The Rényi-alpha bound (alpha != 1) must also recover the target; at
+    alpha=1 it must reduce to the KL path exactly."""
+    from blackjax_tpu.vi._gaussian_vi import KL, RenyiAlpha
+
+    algo = blackjax_tpu.meanfield_vi(
+        logdensity,
+        optax.adam(0.05),
+        num_samples=50,
+        objective=RenyiAlpha(alpha=0.5),
+        stl_estimator=False,
+    )
+    state = algo.init(jnp.zeros(2))
+    step = jax.jit(algo.step)
+    for i in range(600):
+        state, _ = step(jax.random.fold_in(rng_key, i), state)
+    np.testing.assert_allclose(np.asarray(state.mu), np.asarray(LOC), atol=0.2)
+
+    # alpha=1 == KL: identical single-step update for the same key
+    kl = blackjax_tpu.meanfield_vi(logdensity, optax.adam(0.05), num_samples=20)
+    r1 = blackjax_tpu.meanfield_vi(
+        logdensity, optax.adam(0.05), num_samples=20, objective=RenyiAlpha(alpha=1.0)
+    )
+    s0 = kl.init(jnp.zeros(2))
+    out_kl, _ = kl.step(rng_key, s0)
+    out_r1, _ = r1.step(rng_key, s0)
+    np.testing.assert_array_equal(np.asarray(out_kl.mu), np.asarray(out_r1.mu))
+
+
 def test_svgd(rng_key):
     algo = blackjax_tpu.svgd(jax.grad(logdensity), optax.sgd(0.3))
     particles = jax.random.normal(rng_key, (80, 2)) + 3.0
