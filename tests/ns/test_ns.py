@@ -113,3 +113,68 @@ def test_compute_num_live_constant_run():
     num_live = np.asarray(ns_utils.compute_num_live(info))
     assert num_live.max() <= n_live + 1
     assert (num_live[: n_dead - n_live] >= n_live - 1).all()
+
+
+def test_delete_fn_picks_lowest_likelihoods():
+    from blackjax_tpu.ns import base as ns_base
+
+    loglik = jnp.array([3.0, -1.0, 2.0, 0.5, -4.0, 1.5])
+    state = ns_base.NSState(
+        ns_base.StateWithLogLikelihood(
+            position=jnp.zeros((6, 2)),
+            logdensity=jnp.zeros(6),
+            loglikelihood=loglik,
+            loglikelihood_birth=jnp.full(6, -jnp.inf),
+        )
+    )
+    dead_idx, target_idx = ns_base.delete_fn(state, 2)
+    assert set(np.asarray(dead_idx).tolist()) == {4, 1}  # -4.0 and -1.0
+    np.testing.assert_array_equal(np.asarray(dead_idx), np.asarray(target_idx))
+
+
+def test_integrator_constant_likelihood_is_exact():
+    """With L(x) = c everywhere, Z = c * integral dX = c: the combined
+    dead+live evidence must equal c after every update, and the volume must
+    compress by exactly -k/n per k-deletion batch (in expectation-free
+    arithmetic, since the 1/n shrinkage is deterministic here)."""
+    from blackjax_tpu.ns.base import StateWithLogLikelihood
+    from blackjax_tpu.ns.integrator import init_integrator, update_integrator
+
+    c, n, k = -2.5, 100, 10
+    mk = lambda m: StateWithLogLikelihood(
+        position=jnp.zeros((m, 1)),
+        logdensity=jnp.zeros(m),
+        loglikelihood=jnp.full(m, c),
+        loglikelihood_birth=jnp.full(m, -jnp.inf),
+    )
+    state = mk(n)
+    integ = init_integrator(state)
+    np.testing.assert_allclose(
+        float(jnp.logaddexp(integ.logZ, integ.logZ_live)), c, rtol=1e-12
+    )
+    expected_logX = 0.0
+    for _ in range(5):
+        integ = update_integrator(integ, mk(n), mk(k))
+        expected_logX += float(jnp.sum(-1.0 / jnp.arange(n, n - k, -1)))
+        np.testing.assert_allclose(
+            float(jnp.logaddexp(integ.logZ, integ.logZ_live)), c, rtol=1e-10
+        )
+        np.testing.assert_allclose(float(integ.logX), expected_logX, rtol=1e-10)
+
+
+def test_evidence_monotone_and_volume_shrinks(rng_key):
+    """Across a live NSS run the dead-point evidence must be nondecreasing
+    and the log prior volume strictly decreasing."""
+    algo = blackjax_tpu.nss(logprior, loglik, num_inner_steps=3, num_delete=10)
+    positions = SIGMA_PI * jax.random.normal(rng_key, (100, D))
+    state = algo.init(positions, rng_key=rng_key)
+    step = jax.jit(algo.step)
+    logzs, logxs = [], []
+    key = rng_key
+    for _ in range(30):
+        key, subkey = jax.random.split(key)
+        state, _ = step(subkey, state)
+        logzs.append(float(state.integrator.logZ))
+        logxs.append(float(state.integrator.logX))
+    assert all(b >= a for a, b in zip(logzs, logzs[1:]))
+    assert all(b < a for a, b in zip(logxs, logxs[1:]))

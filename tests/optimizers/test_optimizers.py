@@ -97,3 +97,56 @@ def test_recover_diag_inv_hessian(rng_key):
     n = int(status.iter_num) + 1
     alpha_final = np.asarray(history.alpha[n - 1])
     np.testing.assert_allclose(alpha_final, np.asarray(a), rtol=0.3)
+
+
+def test_bfgs_sample_logdet_stable_for_huge_dimension():
+    """The log-determinant must be computed as sum(log(alpha)), not
+    log(prod(alpha)): at N=3000 with alpha=2 the product overflows any float
+    while the log-density must stay finite."""
+    from blackjax_tpu.optimizers.lbfgs import bfgs_sample
+
+    N = 3000
+    alpha = 2.0 * jnp.ones(N)
+    _, logq = bfgs_sample(
+        jax.random.key(0),
+        1,
+        jnp.zeros(N),
+        jnp.zeros(N),
+        alpha,
+        jnp.zeros((N, 2)),
+        jnp.zeros((2, 2)),
+    )
+    assert np.all(np.isfinite(np.asarray(logq)))
+
+
+def test_bfgs_sample_mean_matches_dense_form(rng_key):
+    """The factored mean x + alpha*g + beta(gamma(beta^T g)) must equal the
+    dense diag(alpha)-based expression; recover mu by reproducing the noise
+    tensor from the same key."""
+    from blackjax_tpu.optimizers.lbfgs import bfgs_sample
+
+    N, J = 50, 5
+    k0, k1, k3, k4, k5 = jax.random.split(rng_key, 5)
+    alpha = jnp.abs(jax.random.normal(k0, (N,))) + 0.5
+    S = jax.random.normal(k1, (N, J))
+    beta, gamma = lbfgs_inverse_hessian_factors(S, S, alpha)  # s^T z > 0
+    position = jax.random.normal(k3, (N,))
+    grad_position = jax.random.normal(k4, (N,))
+
+    num_samples = 4
+    phi, _ = bfgs_sample(k5, num_samples, position, grad_position, alpha, beta, gamma)
+
+    u = jax.random.normal(k5, (num_samples, N, 1))
+    Q, R = jnp.linalg.qr(beta / jnp.sqrt(alpha)[:, None], mode="reduced")
+    identity = jnp.identity(R.shape[0])
+    L = jnp.linalg.cholesky(identity + R @ gamma @ R.T)
+    noise = jnp.sqrt(alpha)[:, None] * (Q @ (L - identity) @ (Q.T @ u) + u)
+    mu_from_phi = np.asarray(phi - noise[..., 0])
+
+    mu_dense = np.asarray(
+        position
+        + jnp.diag(alpha) @ grad_position
+        + beta @ gamma @ beta.T @ grad_position
+    )
+    for row in mu_from_phi:
+        np.testing.assert_allclose(row, mu_dense, rtol=1e-8)
