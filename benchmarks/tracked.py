@@ -43,12 +43,16 @@ def _reference():
 
 
 def _timeit(fn: Callable, *args) -> float:
+    """Compile/warm once, then best-of-2 (tunnel dispatch latency is noisy)."""
     out = fn(*args)
     jax.block_until_ready(jax.tree.leaves(out)[0])
-    t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(jax.tree.leaves(out)[0])
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(jax.tree.leaves(out)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def _min_ess_per_sec(positions, elapsed):
@@ -283,9 +287,14 @@ def config_smc():
             return s, i
 
         s, i = full_run()  # compile + correctness
-        t0 = time.perf_counter()
-        s, i = full_run()
-        elapsed = time.perf_counter() - t0
+        # the run is short (~0.25 s) and paced by per-step host dispatch, so
+        # single-shot timing is noisy over the device tunnel: take best-of-3
+        # (XLA cost analysis puts both libraries' compiled steps within 0.1%)
+        elapsed = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s, i = full_run()
+            elapsed = min(elapsed, time.perf_counter() - t0)
         return 1.0 / elapsed, elapsed, i
 
     import blackjax_tpu

@@ -399,3 +399,35 @@ def test_window_adaptation_low_rank_info_drops_buffers(rng_key):
     imm_state = info.adaptation_state.imm_state
     assert imm_state.draws_buffer is None and imm_state.grads_buffer is None
     assert imm_state.mu_star.shape == (80, 3)
+
+
+def test_stan_schedule_exact_windows():
+    """Stan's canonical 1000-step warmup: 75 fast, slow windows of
+    25/50/100/200/500 (the last absorbs the remainder), 50 fast — with the
+    middle-window-end flag on exactly the five window boundaries."""
+    from blackjax_tpu.adaptation.staged_adaptation import build_schedule
+
+    sched = np.asarray(build_schedule(1000))
+    assert sched.shape == (1000, 2)
+    stages, ends = sched[:, 0], sched[:, 1]
+    assert (stages[:75] == 0).all()
+    assert (stages[75:950] == 1).all()
+    assert (stages[950:] == 0).all()
+    np.testing.assert_array_equal(np.nonzero(ends)[0], [99, 149, 249, 449, 949])
+
+
+def test_schedule_shrinks_proportionally_and_degrades_to_fast():
+    from blackjax_tpu.adaptation.staged_adaptation import build_schedule
+
+    # tiny warmup: no slow windows at all
+    sched = np.asarray(build_schedule(19))
+    assert (sched[:, 0] == 0).all() and not sched[:, 1].any()
+
+    # short warmup: buffers shrink to 15% / 10%, one slow window, flag set
+    # exactly once at the end of the slow phase
+    sched = np.asarray(build_schedule(100))
+    stages, ends = sched[:, 0], sched[:, 1]
+    assert (stages[:15] == 0).all()
+    assert (stages[15:90] == 1).all()
+    assert (stages[90:] == 0).all()
+    np.testing.assert_array_equal(np.nonzero(ends)[0], [89])

@@ -119,3 +119,49 @@ def test_gist_trajectory_length(rng_key):
     _, (states, infos) = run_inference_algorithm(rng_key, algo, 3000, initial_state=state)
     _check_moments(states.position[500:])
     assert float(np.mean(np.asarray(infos.is_accepted))) > 0.3
+
+
+def test_slice_constrained_support(rng_key):
+    """Hard -inf boundaries (uniform on the unit box): every sample must stay
+    in support and the moments must match U(0,1) (parity case:
+    reference ``tests/mcmc/test_slice.py`` constrained targets)."""
+    ld = lambda x: jnp.where(jnp.all((x > 0.0) & (x < 1.0)), 0.0, -jnp.inf)
+    algo = blackjax_tpu.slice_sampling(ld)
+    state = algo.init(jnp.array([0.5, 0.5]))
+    step = jax.jit(algo.step)
+    samples = []
+    for i in range(3000):
+        state, _ = step(jax.random.fold_in(rng_key, i), state)
+        samples.append(state.position)
+    xs = np.asarray(jnp.stack(samples))[500:]
+    assert xs.min() > 0.0 and xs.max() < 1.0
+    np.testing.assert_allclose(xs.mean(0), 0.5, atol=0.05)
+    np.testing.assert_allclose(xs.var(0), 1.0 / 12.0, atol=0.02)
+
+
+def test_slice_skewed_target_moments(rng_key):
+    """Exponential(1) via its logdensity: mean == std == 1; slice sampling
+    must handle the asymmetric slice without a gradient."""
+    ld = lambda x: jnp.where(x[0] > 0.0, -x[0], -jnp.inf)
+    algo = blackjax_tpu.coordinate_slice(ld)
+    state = algo.init(jnp.array([1.0]))
+    step = jax.jit(algo.step)
+    samples = []
+    for i in range(4000):
+        state, _ = step(jax.random.fold_in(rng_key, i), state)
+        samples.append(float(state.position[0]))
+    xs = np.asarray(samples)[500:]
+    np.testing.assert_allclose(xs.mean(), 1.0, atol=0.1)
+    np.testing.assert_allclose(xs.std(), 1.0, atol=0.15)
+
+
+def test_slice_pytree_positions(rng_key):
+    """Dict positions ride through hyperplane slice init/step unchanged."""
+    ld = lambda p: -0.5 * jnp.sum(p["a"] ** 2) - 0.5 * jnp.sum((p["b"] - 1.0) ** 2)
+    algo = blackjax_tpu.slice_sampling(ld)
+    state = algo.init({"a": jnp.zeros(2), "b": jnp.zeros(1)})
+    step = jax.jit(algo.step)
+    for i in range(200):
+        state, _ = step(jax.random.fold_in(rng_key, i), state)
+    assert state.position["a"].shape == (2,)
+    assert np.isfinite(np.asarray(state.position["b"])).all()
