@@ -71,6 +71,27 @@ def main():
         f"posterior mean~{np.round(mean, 3)}"
     )
 
+    # --- 1b. waste-free variant: the resample exchange moves only N/p seeds
+    result_wf = psmc.run_adaptive_tempered_smc(
+        jax.random.key(4),
+        3.0 * jax.random.normal(jax.random.key(1), (n_particles, d)),
+        logprior_fn,
+        loglikelihood_fn,
+        mala.build_kernel(),
+        mala.init,
+        {"step_size": 0.15},
+        Mesh(devices, ("particles",)),
+        target_ess=0.6,
+        num_mcmc_steps=None,
+        waste_free_p=4,
+    )
+    w = np.asarray(result_wf.weights)
+    mean = (w[:, None] * np.asarray(result_wf.particles)).sum(0)
+    print(
+        f"SMC (waste-free p=4): lambda={float(result_wf.tempering_param):.2f} "
+        f"in {int(result_wf.num_steps)} steps, posterior mean~{np.round(mean, 3)}"
+    )
+
     # --- 2. chain-sharded ChEES warmup --------------------------------------
     num_chains, dim = 256, 16
     scales = jnp.linspace(0.5, 3.0, dim)
