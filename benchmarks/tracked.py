@@ -389,7 +389,8 @@ def run_tracked(cache: dict, cache_write, device_kind: str, names=None):
         except Exception as exc:  # pragma: no cover
             print(f"tracked config {name} failed: {exc}", file=sys.stderr)
             continue
-        cache_key = f"{device_kind}|tracked_{name}|v2"
+        # v3: best-of-N timing on both sides (same harness for ours and ref)
+        cache_key = f"{device_kind}|tracked_{name}|v3"
         if cache_key in cache:
             baseline = cache[cache_key]
         else:

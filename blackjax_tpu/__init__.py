@@ -167,6 +167,9 @@ additive_step_random_walk = GenerateSamplingAPI(
 additive_step_random_walk.register_factory(
     "normal_random_walk", random_walk.normal_random_walk
 )
+# migration parity: the reference also exports this convenience at top level
+# (reference ``__init__.py`` normal_random_walk)
+normal_random_walk = random_walk.normal_random_walk
 
 mhmc = GenerateSamplingAPI(
     functools.partial(_hmc.as_top_level_api, build_proposal=_hmc.multinomial_hmc_proposal),
@@ -335,6 +338,7 @@ __all__ = [
     "rmh",
     "irmh",
     "additive_step_random_walk",
+    "normal_random_walk",
     "ghmc",
     "mclmc",
     "adjusted_mclmc",

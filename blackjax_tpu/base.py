@@ -98,6 +98,12 @@ def build_sampling_algorithm(
 
     def init_fn(position: ArrayLikeTree, rng_key: PRNGKey | None = None):
         if pass_rng_key_to_init:
+            if rng_key is None:
+                raise ValueError(
+                    "this algorithm's init requires an rng_key (it draws the "
+                    "initial momentum / trajectory-length seed): call "
+                    "algo.init(position, rng_key)"
+                )
             return init_state(position, logdensity_fn, *init_args, rng_key)
         return init_state(position, logdensity_fn, *init_args)
 

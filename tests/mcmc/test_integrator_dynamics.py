@@ -74,6 +74,8 @@ def test_kepler_circular_orbit_closes(name):
     np.testing.assert_allclose(np.asarray(out.momentum), np.asarray(p0), atol=5e-3)
 
 
+@pytest.mark.x64only  # measures asymptotic error ratios down to ~1e-5;
+# f32 rounding floors the fine-h errors and corrupts the measured order
 def test_measured_convergence_order():
     """Halving h must shrink the endpoint error by ~2^2 for every scheme, and
     the multi-stage schemes must buy a much smaller error CONSTANT per unit
@@ -157,18 +159,24 @@ def test_esh_kick_matches_textbook_formula(dims, rng_key):
 
     kick, _ = integrators.esh_momentum_kick(1.0)
     stable, dK = kick(u, grad, dt)
-    np.testing.assert_allclose(np.asarray(stable), np.asarray(naive), atol=1e-12)
+    atol = 1e-12 if jax.config.jax_enable_x64 else 1e-6
+    np.testing.assert_allclose(np.asarray(stable), np.asarray(naive), atol=atol)
     assert np.isfinite(float(dK))
 
 
 def test_esh_kick_survives_huge_gradients(rng_key):
-    """The zeta form must stay finite where sinh/cosh overflow."""
+    """The zeta form must stay finite where sinh/cosh overflow. The gradient
+    magnitude is capped so its NORM is representable (that part is the
+    caller's dtype budget); the hyperbolic overflow the kick must survive
+    happens far earlier, at delta ~ 90."""
+    big = 1e30 if jax.config.jax_enable_x64 else 1e15
     u = jnp.array([0.6, 0.64, 0.48])
     kick, _ = integrators.esh_momentum_kick(1.0)
-    new_u, dK = kick(u, jnp.array([1e30, -2e30, 5e29]), 1.0)
+    new_u, dK = kick(u, big * jnp.array([1.0, -2.0, 0.5]), 1.0)
     assert np.all(np.isfinite(np.asarray(new_u)))
     assert np.isfinite(float(dK))
-    np.testing.assert_allclose(float(jnp.linalg.norm(new_u)), 1.0, atol=1e-10)
+    atol = 1e-10 if jax.config.jax_enable_x64 else 1e-6
+    np.testing.assert_allclose(float(jnp.linalg.norm(new_u)), 1.0, atol=atol)
 
 
 def test_esh_kick_trivial_lrd_equals_diagonal(rng_key):
@@ -223,5 +231,6 @@ def test_isokinetic_energy_balance(factory, rng_key):
 
     final, dKs = jax.lax.scan(body, state, None, length=15)
     # the MCLMC energy proxy (mclmc.py:115): dE = dK - d(logdensity) per step
+    tol = 1e-6 if jax.config.jax_enable_x64 else 2e-4
     potential_change = float(final.logdensity - state.logdensity)
-    assert abs(float(dKs.sum()) - potential_change) < 1e-6
+    assert abs(float(dKs.sum()) - potential_change) < tol

@@ -108,6 +108,16 @@ CASES = [
         ),
         id="ghmc",
     ),
+    pytest.param(
+        lambda: blackjax_tpu.dynamic_hmc(
+            logdensity_fn, step_size=0.4, inverse_mass_matrix=SCALE**2
+        ),
+        id="dynamic-hmc",
+    ),
+    pytest.param(
+        lambda: blackjax_tpu.slice_sampling(logdensity_fn),
+        id="slice",
+    ),
 ]
 
 
@@ -124,7 +134,7 @@ def test_mcse(make_algorithm):
     positions = jax.random.normal(pos_key, (num_chains, 2))
     try:
         initial_states = jax.vmap(algorithm.init)(positions)
-    except TypeError:  # init requiring an rng (e.g. ghmc)
+    except (TypeError, ValueError):  # init requiring an rng (e.g. ghmc)
         initial_states = jax.vmap(algorithm.init)(
             positions, jax.random.split(init_key, num_chains)
         )

@@ -140,6 +140,7 @@ def test_integrator_constant_likelihood_is_exact():
     from blackjax_tpu.ns.base import StateWithLogLikelihood
     from blackjax_tpu.ns.integrator import init_integrator, update_integrator
 
+    tight = 1e-10 if jax.config.jax_enable_x64 else 2e-5
     c, n, k = -2.5, 100, 10
     mk = lambda m: StateWithLogLikelihood(
         position=jnp.zeros((m, 1)),
@@ -150,16 +151,16 @@ def test_integrator_constant_likelihood_is_exact():
     state = mk(n)
     integ = init_integrator(state)
     np.testing.assert_allclose(
-        float(jnp.logaddexp(integ.logZ, integ.logZ_live)), c, rtol=1e-12
+        float(jnp.logaddexp(integ.logZ, integ.logZ_live)), c, rtol=tight
     )
     expected_logX = 0.0
     for _ in range(5):
         integ = update_integrator(integ, mk(n), mk(k))
         expected_logX += float(jnp.sum(-1.0 / jnp.arange(n, n - k, -1)))
         np.testing.assert_allclose(
-            float(jnp.logaddexp(integ.logZ, integ.logZ_live)), c, rtol=1e-10
+            float(jnp.logaddexp(integ.logZ, integ.logZ_live)), c, rtol=tight
         )
-        np.testing.assert_allclose(float(integ.logX), expected_logX, rtol=1e-10)
+        np.testing.assert_allclose(float(integ.logX), expected_logX, rtol=tight)
 
 
 def test_evidence_monotone_and_volume_shrinks(rng_key):

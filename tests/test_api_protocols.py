@@ -170,3 +170,23 @@ class TestSamplingAlgorithmProtocol:
         assert params[1] == "state", (
             f"{name}.step second param is '{params[1]}', expected 'state'"
         )
+
+
+def test_rng_requiring_init_raises_clearly():
+    """Algorithms whose init draws randomness (ghmc, mclmc, dynamic_hmc...)
+    must fail with a clear message when called without an rng_key, not crash
+    downstream with a cryptic PRNG type error."""
+    import pytest
+
+    import blackjax_tpu
+
+    algo = blackjax_tpu.dynamic_hmc(
+        lambda x: -0.5 * jnp.sum(x**2), step_size=0.4,
+        inverse_mass_matrix=jnp.ones(2),
+    )
+    with pytest.raises(ValueError, match="rng_key"):
+        algo.init(jnp.zeros(2))
+    # with a key it constructs and steps
+    state = algo.init(jnp.zeros(2), jax.random.key(0))
+    state, info = algo.step(jax.random.key(1), state)
+    assert jnp.isfinite(state.logdensity)

@@ -129,3 +129,39 @@ class TestHelpers:
             jnp.ones(2), (0.0, jnp.zeros(2)), weight=0.0, zero_prevention=1.0
         )
         assert not bool(jnp.any(jnp.isnan(avg)))
+
+
+class TestSmallUtilities:
+    def test_gaussian_noise_pytree_and_scales(self, rng_key):
+        from blackjax_tpu.util import generate_gaussian_noise
+
+        pos = {"a": jnp.zeros(3), "b": jnp.zeros((2, 2))}
+        out = jax.tree.map(lambda *_: None, pos)  # structure probe
+        noise = generate_gaussian_noise(rng_key, pos)
+        assert jax.tree.structure(noise) == jax.tree.structure(pos)
+        # dense scale: covariance of the flat draw is sigma sigma^T
+        sigma = jnp.array([[2.0, 0.0], [1.0, 1.0]])
+        draws = jax.vmap(
+            lambda k: generate_gaussian_noise(k, jnp.zeros(2), sigma=sigma)
+        )(jax.random.split(rng_key, 20000))
+        emp = np.cov(np.asarray(draws).T)
+        np.testing.assert_allclose(emp, np.asarray(sigma @ sigma.T), atol=0.1)
+
+    def test_unit_vector_has_unit_norm(self, rng_key):
+        from blackjax_tpu.util import generate_unit_vector
+
+        pos = {"a": jnp.zeros(5), "b": jnp.zeros(3)}
+        u = generate_unit_vector(rng_key, pos)
+        flat = np.concatenate([np.asarray(u["a"]), np.asarray(u["b"])])
+        np.testing.assert_allclose(np.linalg.norm(flat), 1.0, rtol=1e-6)
+
+    def test_pytree_size_and_index(self):
+        from blackjax_tpu.util import index_pytree, pytree_size
+
+        pos = {"a": jnp.zeros((2, 3)), "b": jnp.zeros(4)}
+        assert pytree_size(pos) == 10
+        idx = index_pytree(pos)
+        flat = np.concatenate(
+            [np.asarray(idx["a"]).ravel(), np.asarray(idx["b"]).ravel()]
+        )
+        np.testing.assert_array_equal(np.sort(flat), np.arange(10))
