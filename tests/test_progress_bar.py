@@ -79,3 +79,49 @@ def test_progress_factory_phase_reset():
     assert state.step == 9
     state.update(2)  # new phase
     assert state.step == 2
+
+
+def test_sequential_scans_adjust_total(tmp_path):
+    """A second scan of a different length inside the same context is a new
+    phase: the recorded total switches to the new length and the count
+    completes (reference case: sequential scans of different lengths)."""
+    out = str(tmp_path / "progress_seq.txt")
+    with progress_bar(output_file=out, print_rate=1):
+        a, _ = jax.lax.scan(lambda c, _: (c + 1, None), 0, length=5)
+        jax.block_until_ready(a)
+        b, _ = jax.lax.scan(lambda c, _: (c + 1, None), 0, length=12)
+        jax.block_until_ready(b)
+    jax.effects_barrier()
+    assert int(a) == 5 and int(b) == 12
+    step, total = read_progress(out)
+    assert (step, total) == (12, 12)
+
+
+def test_scan_restored_after_exception(tmp_path):
+    """jax.lax.scan must be restored even when the body raises."""
+    original_scan = jax.lax.scan
+    with pytest.raises(RuntimeError, match="boom"):
+        with progress_bar(output_file=str(tmp_path / "p.txt"), print_rate=1):
+            raise RuntimeError("boom")
+    assert jax.lax.scan is original_scan
+
+
+def test_patched_scan_results_identical_to_unpatched():
+    """Instrumentation must not change any numerical output."""
+    xs = jnp.arange(7.0)
+    f = lambda c, x: (c + x * x, c - x)
+    with progress_bar(print_rate=3):
+        final_p, ys_p = jax.lax.scan(f, jnp.zeros(()), xs)
+    final_u, ys_u = jax.lax.scan(f, jnp.zeros(()), xs)
+    assert float(final_p) == float(final_u)
+    assert jnp.array_equal(ys_p, ys_u)
+
+
+def test_unwritable_output_file_does_not_crash(tmp_path):
+    """An unwritable progress path must not break the computation."""
+    bad = str(tmp_path / "no_such_dir" / "progress.txt")
+    with progress_bar(output_file=bad, print_rate=1):
+        final, _ = jax.lax.scan(lambda c, _: (c + 1, None), 0, length=6)
+        jax.block_until_ready(final)
+    jax.effects_barrier()
+    assert int(final) == 6
