@@ -74,3 +74,44 @@ def test_laplace_hmc_samples_posterior(rng_key):
     np.testing.assert_allclose(samples.mean(), post_mean, atol=0.15)
     np.testing.assert_allclose(samples.var(), 1.0 / post_prec, rtol=0.4)
     assert not np.asarray(infos.lbfgs_hit_maxiter).any()
+
+
+def test_laplace_dhmc_samples_posterior(rng_key):
+    """The drawn-length variant must hit the same analytic posterior as
+    laplace_hmc (same marginal machinery, dynamic trajectory lengths)."""
+    algo = blackjax_tpu.laplace_dhmc(
+        log_joint,
+        theta_init=jnp.zeros(N_LATENT),
+        step_size=0.3,
+        inverse_mass_matrix=jnp.ones(1),
+        maxiter=50,
+    )
+    state = algo.init(jnp.zeros(1), jax.random.key(7))
+    _, (states, infos) = run_inference_algorithm(
+        rng_key, algo, 1000, initial_state=state
+    )
+    samples = np.asarray(states.position)[200:].reshape(-1)
+    post_prec = 1.0 + N_LATENT / 2.0
+    post_mean = float(jnp.sum(Y_OBS)) / 2.0 / post_prec
+    np.testing.assert_allclose(samples.mean(), post_mean, atol=0.15)
+    np.testing.assert_allclose(samples.var(), 1.0 / post_prec, rtol=0.4)
+
+
+def test_laplace_mhmc_multinomial_variant(rng_key):
+    """The multinomial-proposal variant samples the same posterior."""
+    algo = blackjax_tpu.laplace_mhmc(
+        log_joint,
+        theta_init=jnp.zeros(N_LATENT),
+        step_size=0.3,
+        inverse_mass_matrix=jnp.ones(1),
+        num_integration_steps=8,
+        maxiter=50,
+    )
+    state = algo.init(jnp.zeros(1))
+    _, (states, _) = run_inference_algorithm(
+        rng_key, algo, 1000, initial_state=state
+    )
+    samples = np.asarray(states.position)[200:].reshape(-1)
+    post_prec = 1.0 + N_LATENT / 2.0
+    post_mean = float(jnp.sum(Y_OBS)) / 2.0 / post_prec
+    np.testing.assert_allclose(samples.mean(), post_mean, atol=0.15)
