@@ -11,6 +11,15 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# honor JAX_PLATFORMS even when the environment's sitecustomize already
+# pinned a backend at interpreter startup
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 
 import blackjax_tpu

@@ -165,3 +165,23 @@ def test_slice_pytree_positions(rng_key):
         state, _ = step(jax.random.fold_in(rng_key, i), state)
     assert state.position["a"].shape == (2,)
     assert np.isfinite(np.asarray(state.position["b"])).all()
+
+
+def test_elliptical_slice_prior_invariance(rng_key):
+    """With a constant likelihood the elliptical slice sampler's stationary
+    distribution IS the Gaussian prior — an exactness invariant of the
+    algorithm (every proposal is accepted, moments must match the prior)."""
+    mean = jnp.array([1.0, -2.0])
+    cov = jnp.array([[2.0, 0.8], [0.8, 1.0]])
+    algo = blackjax_tpu.elliptical_slice(
+        lambda x: jnp.asarray(0.0), mean=mean, cov=cov
+    )
+    state = algo.init(mean)
+    step = jax.jit(algo.step)
+    samples = []
+    for i in range(6000):
+        state, _ = step(jax.random.fold_in(rng_key, i), state)
+        samples.append(state.position)
+    xs = np.asarray(jnp.stack(samples))[500:]
+    np.testing.assert_allclose(xs.mean(0), np.asarray(mean), atol=0.1)
+    np.testing.assert_allclose(np.cov(xs.T), np.asarray(cov), atol=0.2)
