@@ -59,6 +59,7 @@ __all__ = [
     "sharded_init",
     "build_tempered_kernel",
     "build_adaptive_tempered_kernel",
+    "mass_matrix_from_particles",
     "run_adaptive_tempered_smc",
 ]
 
@@ -445,6 +446,17 @@ class ShardedSMCResult(NamedTuple):
     tempering_param: Array
     log_likelihood: Array  # accumulated log normalizing constant
     num_steps: Array
+    mcmc_parameters: ArrayTree  # final (possibly tuned) parameter dict
+
+
+def mass_matrix_from_particles(particles: Array, axis_name: str) -> Array:
+    """Global per-dimension particle variance on a sharded ``(n_local, d)``
+    block — the diagonal mass-matrix tuning rule of
+    :mod:`blackjax_tpu.smc.tuning.from_particles`, completed with psums."""
+    n = lax.psum(jnp.asarray(particles.shape[0], particles.dtype), axis_name)
+    mean = lax.psum(jnp.sum(particles, axis=0), axis_name) / n
+    var = lax.psum(jnp.sum((particles - mean) ** 2, axis=0), axis_name) / n
+    return var
 
 
 def run_adaptive_tempered_smc(
@@ -462,6 +474,7 @@ def run_adaptive_tempered_smc(
     resampling_scheme: str = "systematic",
     axis_name: Optional[str] = None,
     waste_free_p: Optional[int] = None,
+    mcmc_parameter_update_fn: Optional[Callable] = None,
 ) -> ShardedSMCResult:
     """Run the full prior→posterior tempering loop with particles sharded
     over ``mesh``. Control crosses the device boundary once: the whole
@@ -474,6 +487,14 @@ def run_adaptive_tempered_smc(
 
     ``waste_free_p`` enables the waste-free rejuvenation strategy (pass
     ``num_mcmc_steps=None`` with it; see :func:`build_tempered_kernel`).
+
+    ``mcmc_parameter_update_fn(rng_key, state, info, params) -> dict`` is the
+    mesh analogue of :mod:`blackjax_tpu.smc.inner_kernel_tuning`: called
+    after every tempering step INSIDE the ``shard_map``, so ensemble
+    reductions must be axis-aware (use :func:`mass_matrix_from_particles`
+    or ``lax.psum(..., axis_name)``). The returned dict must have the same
+    structure/shapes as ``mcmc_parameters`` (it is the scan carry); shared
+    entries must stay replicated across shards.
     """
     if axis_name is None:
         axis_name = mesh.axis_names[0]
@@ -497,20 +518,22 @@ def run_adaptive_tempered_smc(
         )
 
         def cond(carry):
-            state, _, i, _ = carry
+            state, _, i, _, _ = carry
             return (state.tempering_param < 1.0) & (i < max_steps)
 
         def body(carry):
-            state, key, i, log_z = carry
-            key, subkey = jax.random.split(key)
-            state, info = kernel(subkey, state, params)
-            return state, key, i + 1, log_z + info.log_likelihood_increment
+            state, key, i, log_z, params = carry
+            key, key_step, key_tune = jax.random.split(key, 3)
+            state, info = kernel(key_step, state, params)
+            if mcmc_parameter_update_fn is not None:
+                params = mcmc_parameter_update_fn(key_tune, state, info, params)
+            return state, key, i + 1, log_z + info.log_likelihood_increment, params
 
-        state, _, n, log_z = lax.while_loop(
-            cond, body, (state, rng_key, jnp.asarray(0), jnp.asarray(0.0))
+        state, _, n, log_z, params = lax.while_loop(
+            cond, body, (state, rng_key, jnp.asarray(0), jnp.asarray(0.0), params)
         )
         return ShardedSMCResult(
-            state.particles, state.weights, state.tempering_param, log_z, n
+            state.particles, state.weights, state.tempering_param, log_z, n, params
         )
 
     p, rep = PartitionSpec(axis_name), PartitionSpec()
@@ -525,7 +548,8 @@ def run_adaptive_tempered_smc(
         mesh=mesh,
         in_specs=(rep, p, param_specs),
         out_specs=ShardedSMCResult(
-            jax.tree.map(lambda _: p, initial_particles), p, rep, rep, rep
+            jax.tree.map(lambda _: p, initial_particles), p, rep, rep, rep,
+            param_specs,
         ),
         check_vma=False,  # replicated-ness of solver outputs is by construction
     )

@@ -293,3 +293,56 @@ def test_sharded_adaptive_tempered_recovers_posterior(rng_key):
     np.testing.assert_allclose(mean, np.asarray(post_mean), atol=0.1)
     np.testing.assert_allclose(var, post_var, atol=0.1)
     assert float(result.log_likelihood) == pytest.approx(log_evidence, abs=0.2)
+
+
+def test_sharded_inner_kernel_tuning_adapts_mass_matrix(rng_key):
+    """Mesh analogue of smc.inner_kernel_tuning: after every tempering step
+    the HMC inverse mass matrix is re-tuned from the GLOBAL particle cloud
+    (psum'd moments via mass_matrix_from_particles). The final override must
+    track the posterior scales and the posterior must be recovered."""
+    from blackjax_tpu.mcmc import hmc
+
+    d = 4
+    post_var = jnp.array([1.0, 4.0, 0.25, 2.0])
+    sigma0 = 4.0
+    # prior N(0, sigma0^2); likelihood chosen so the posterior has post_var:
+    # 1/post_var = 1/sigma0^2 + 1/lik_var
+    lik_var = 1.0 / (1.0 / post_var - 1.0 / sigma0**2)
+
+    logprior_fn = lambda x: -0.5 * jnp.sum(x**2) / sigma0**2
+    loglikelihood_fn = lambda x: -0.5 * jnp.sum(x**2 / lik_var)
+
+    def tune(key, state, info, params):
+        imm = psmc.mass_matrix_from_particles(state.particles, "particles")
+        return {**params, "inverse_mass_matrix": imm[None]}
+
+    result = psmc.run_adaptive_tempered_smc(
+        rng_key,
+        sigma0 * jax.random.normal(jax.random.key(2), (512, d)),
+        logprior_fn,
+        loglikelihood_fn,
+        hmc.build_kernel(),
+        hmc.init,
+        {
+            "step_size": 0.4,
+            "inverse_mass_matrix": jnp.full((1, d), sigma0**2),
+            "num_integration_steps": 5,
+        },
+        particles_mesh(),
+        target_ess=0.6,
+        num_mcmc_steps=3,
+        max_steps=60,
+        mcmc_parameter_update_fn=tune,
+    )
+    assert float(result.tempering_param) == pytest.approx(1.0)
+    final_imm = np.asarray(result.mcmc_parameters["inverse_mass_matrix"])[0]
+    # the override is derived from the CURRENT cloud, so the final value lags
+    # one tempering step (a slightly wider-than-posterior distribution):
+    # assert each scale within a factor 2 and the anisotropy ordering exact
+    ratio = final_imm / np.asarray(post_var)
+    assert np.all((ratio > 0.5) & (ratio < 2.0)), final_imm
+    np.testing.assert_array_equal(np.argsort(final_imm), np.argsort(np.asarray(post_var)))
+    w = np.asarray(result.weights)
+    parts = np.asarray(result.particles)
+    var = (w[:, None] * parts**2).sum(0) - ((w[:, None] * parts).sum(0)) ** 2
+    np.testing.assert_allclose(var, np.asarray(post_var), rtol=0.4)
