@@ -97,6 +97,15 @@ def build_sampling_algorithm(
     ``as_top_level_api``."""
 
     def init_fn(position: ArrayLikeTree, rng_key: PRNGKey | None = None):
+        import jax
+        import jax.numpy as jnp
+
+        # strengthen weak-typed leaves (python scalars): a weak-typed initial
+        # state gives the first jitted step a different signature than every
+        # later one — one silent extra XLA compile per chain start
+        position = jax.tree.map(
+            lambda x: jnp.asarray(x).astype(jnp.asarray(x).dtype), position
+        )
         if pass_rng_key_to_init:
             if rng_key is None:
                 raise ValueError(

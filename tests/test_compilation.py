@@ -112,3 +112,57 @@ def test_nuts_warmup_traces_seven_times():
     (state, parameters), _ = warmup.run(rng_key, 1.0, num_steps=100)
     step = jax.jit(blackjax_tpu.nuts(logdensity_fn, **parameters).step)
     _run_steps(step, state, rng_key)
+
+
+def test_mala_traces_twice():
+    @chex.assert_max_traces(n=2)
+    def logdensity_fn(x):
+        return jscipy.stats.norm.logpdf(x)
+
+    chex.clear_trace_counter()
+    algo = blackjax_tpu.mala(logdensity_fn, step_size=1e-2)
+    state = algo.init(1.0)
+    _run_steps(jax.jit(algo.step), state, jax.random.key(0))
+
+
+def test_barker_traces_twice():
+    @chex.assert_max_traces(n=2)
+    def logdensity_fn(x):
+        return jscipy.stats.norm.logpdf(x)
+
+    chex.clear_trace_counter()
+    algo = blackjax_tpu.barker_proposal(logdensity_fn, step_size=1e-1)
+    state = algo.init(1.0)
+    _run_steps(jax.jit(algo.step), state, jax.random.key(0))
+
+
+def test_mclmc_traces_three_times():
+    """init (1) + two static instantiations inside the one kernel compile
+    (the isokinetic integrator's position update and the final logdensity
+    re-evaluation). Repeated jitted steps add none."""
+
+    @chex.assert_max_traces(n=3)
+    def logdensity_fn(x):
+        return jscipy.stats.norm.logpdf(x).sum()
+
+    chex.clear_trace_counter()
+    algo = blackjax_tpu.mclmc(logdensity_fn, L=1.0, step_size=0.1)
+    state = algo.init(jnp.ones(2), jax.random.key(1))
+    _run_steps(jax.jit(algo.step), state, jax.random.key(0))
+
+
+def test_vmapped_chains_do_not_add_traces():
+    """vmapping the kernel over a chain block must reuse the single trace
+    of the jitted step (one batched trace, then cached)."""
+
+    @chex.assert_max_traces(n=2)
+    def logdensity_fn(x):
+        return jscipy.stats.norm.logpdf(x).sum()
+
+    chex.clear_trace_counter()
+    algo = blackjax_tpu.mala(logdensity_fn, step_size=1e-2)
+    states = jax.vmap(algo.init)(jnp.ones((8, 2)))
+    step = jax.jit(jax.vmap(algo.step))
+    for i in range(10):
+        keys = jax.random.split(jax.random.fold_in(jax.random.key(0), i), 8)
+        states, _ = step(keys, states)
