@@ -495,6 +495,13 @@ def run_adaptive_tempered_smc(
     or ``lax.psum(..., axis_name)``). The returned dict must have the same
     structure/shapes as ``mcmc_parameters`` (it is the scan carry); shared
     entries must stay replicated across shards.
+
+    Per-particle parameter POPULATIONS (the pretuning strategy,
+    :mod:`blackjax_tpu.smc.pretuning`) compose through the same hook: the
+    step's ``info.ancestors`` are global indices, so
+    ``parallel.exchange.ring_gather(param_rows, info.ancestors, axis_name)``
+    makes each parameter row follow its particle through the resample, after
+    which the update fn perturbs/reweights the rows shard-locally.
     """
     if axis_name is None:
         axis_name = mesh.axis_names[0]

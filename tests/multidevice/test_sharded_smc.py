@@ -346,3 +346,77 @@ def test_sharded_inner_kernel_tuning_adapts_mass_matrix(rng_key):
     parts = np.asarray(result.particles)
     var = (w[:, None] * parts**2).sum(0) - ((w[:, None] * parts).sum(0)) ** 2
     np.testing.assert_allclose(var, np.asarray(post_var), rtol=0.4)
+
+
+def test_sharded_pretuning_parameters_follow_particles(rng_key):
+    """Pretuning composition: a per-particle step-size population rides the
+    resample via ring_gather(info.ancestors) and is then perturbed
+    shard-locally. The run must temper to 1 with the population staying
+    positive, finite, and diverse, and the posterior recovered."""
+    from blackjax_tpu.parallel.exchange import ring_gather
+
+    d, n_particles = 2, 128
+    obs = jnp.array([1.0, -0.5])
+
+    def pretune(key, state, info, params):
+        moved = ring_gather(
+            {"step_size": params["step_size"]}, info.ancestors, "particles"
+        )
+        local_key = jax.random.fold_in(
+            key, jax.lax.axis_index("particles")
+        )
+        jitter = jnp.exp(
+            0.15 * jax.random.normal(local_key, moved["step_size"].shape)
+        )
+        return {**params, "step_size": jnp.clip(moved["step_size"] * jitter, 1e-3, 1.0)}
+
+    result = psmc.run_adaptive_tempered_smc(
+        rng_key,
+        3.0 * jax.random.normal(jax.random.key(9), (n_particles, d)),
+        lambda x: -0.5 * jnp.sum(x**2) / 9.0,
+        lambda x: -0.5 * jnp.sum((x - obs) ** 2),
+        mala.build_kernel(),
+        mala.init,
+        {"step_size": jnp.full(n_particles, 0.15)},  # per-particle population
+        particles_mesh(),
+        target_ess=0.5,
+        num_mcmc_steps=2,
+        max_steps=40,
+        mcmc_parameter_update_fn=pretune,
+    )
+    assert float(result.tempering_param) == pytest.approx(1.0)
+    steps = np.asarray(result.mcmc_parameters["step_size"])
+    assert steps.shape == (n_particles,)
+    assert np.all((steps > 0) & np.isfinite(steps))
+    assert steps.std() > 0  # the population actually diversified
+    post_var = 1.0 / (1.0 / 9.0 + 1.0)
+    w = np.asarray(result.weights)
+    parts = np.asarray(result.particles)
+    mean = (w[:, None] * parts).sum(0)
+    np.testing.assert_allclose(mean, post_var * np.asarray(obs), atol=0.25)
+
+
+def test_ring_gather_matches_single_device_ancestor_gather(rng_key):
+    """ring_gather with the step's ancestors equals params[ancestors] on one
+    device — the exact pretuning resample semantics."""
+    from blackjax_tpu.parallel.exchange import ring_gather
+
+    key_w, key_r = jax.random.split(rng_key)
+    weights = _random_weights(key_w)
+    ancestors_single = resampling.systematic(key_r, weights, N)
+    params = jnp.linspace(0.01, 0.5, N)
+
+    mesh = particles_mesh()
+    p, rep = PartitionSpec("particles"), PartitionSpec()
+    resample = psmc.make_resampler("systematic", "particles")
+
+    def run(key, w, rows):
+        _, anc = resample(key, w, rows)  # rows double as particles here
+        return ring_gather(rows, anc, "particles")
+
+    out = jax.shard_map(
+        run, mesh=mesh, in_specs=(rep, p, p), out_specs=p, check_vma=False
+    )(key_r, weights, params)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(params[ancestors_single])
+    )
