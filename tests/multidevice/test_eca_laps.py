@@ -196,3 +196,38 @@ def test_fused_nuts_runner_oversubscribed_sharded(mesh, rng_key):
     )(rng_keys, states)
     np.testing.assert_array_equal(np.asarray(hist_sh), np.asarray(hist_ref))
     assert int(grads_sh) == int(grads_ref)
+
+
+def test_while_with_info_early_exit(rng_key):
+    """The scan-shaped early-stoppable loop must stop once the condition
+    fails, record every executed step's info into the static buffer, and
+    report the executed count."""
+    from blackjax_tpu.parallel import eca
+
+    def step(carry, x):
+        new = carry + x
+        return new, {"value": new}
+
+    xs = jnp.ones(10)
+    # run while value < 4: steps produce 1,2,3,4 -> the 4th step records 4
+    # and flips the condition; steps 5..10 never run
+    final, info, counter = jax.jit(
+        lambda init, xs: eca.while_with_info(
+            step, init, xs, 10, lambda info, i: info["value"] < 4.0
+        )
+    )(jnp.asarray(0.0), xs)
+    assert int(counter) == 4
+    assert float(final) == 4.0
+    np.testing.assert_allclose(np.asarray(info["value"])[:4], [1.0, 2.0, 3.0, 4.0])
+    # untouched buffer tail stays zero (preallocated)
+    np.testing.assert_allclose(np.asarray(info["value"])[4:], 0.0)
+
+
+def test_while_with_info_runs_to_length(rng_key):
+    from blackjax_tpu.parallel import eca
+
+    step = lambda c, x: (c + x, {"v": c})
+    final, info, counter = eca.while_with_info(
+        step, jnp.asarray(0.0), jnp.ones(5), 5, lambda info, i: jnp.asarray(True)
+    )
+    assert int(counter) == 5 and float(final) == 5.0
