@@ -130,6 +130,13 @@ def make_resampler(
     output slots than input particles — the waste-free variant's M-seeds
     resample (reference ``smc/base.py:98`` with ``num_resampled < N``);
     each shard produces its ``num_resampled / ndev`` block.
+
+    ``residual`` resampling is deliberately not offered here: it is not an
+    inverse-CDF grid scheme (deterministic integer copies + a multinomial
+    remainder of data-dependent size), so it has no static-shape sharded
+    formulation; use the single-device kernel
+    (:func:`blackjax_tpu.smc.resampling.residual`) or ``systematic`` (lower
+    variance anyway).
     """
 
     def resample(rng_key: PRNGKey, weights: Array, particles: ArrayTree):
