@@ -31,13 +31,21 @@ def test_pytree_position_sampling(name, rng_key):
         "mala": dict(step_size=0.15),
     }[name]
     algo = getattr(blackjax_tpu, name)(_logdensity, **kwargs)
-    state = algo.init(_POSITION)
-
-    final, (states, infos) = blackjax_tpu.util.run_inference_algorithm(
-        rng_key, algo, 3000, initial_state=state
+    # 4 chains: a single correlated chain's variance estimator has ~40% MC
+    # error at this length — pooling keeps the check sharp AND stable across
+    # the daily seed rotation
+    n_chains = 4
+    states0 = jax.vmap(algo.init)(
+        jax.tree.map(lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), _POSITION)
     )
-    coefs = np.asarray(states.position["coefs"][500:])
-    scale = np.asarray(states.position["scale"][500:])
+    run = jax.vmap(
+        lambda key, st: blackjax_tpu.util.run_inference_algorithm(
+            key, algo, 3000, initial_state=st
+        )[1][0]
+    )
+    states = run(jax.random.split(rng_key, n_chains), states0)
+    coefs = np.asarray(states.position["coefs"][:, 500:]).reshape(-1, 2)
+    scale = np.asarray(states.position["scale"][:, 500:]).reshape(-1)
     np.testing.assert_allclose(coefs.var(0), [1.0, 4.0], rtol=0.35)
     np.testing.assert_allclose(scale.var(), 0.25, rtol=0.35)
     np.testing.assert_allclose(coefs.mean(0), 0.0, atol=0.4)

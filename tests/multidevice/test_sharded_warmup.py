@@ -79,8 +79,13 @@ def test_maximum_eigenvalue_forms_agree(rng_key):
     np.testing.assert_allclose(float(sharded), float(gram), rtol=tight)
 
 
-def test_chees_update_bit_matches_vmap(rng_key):
-    """One sharded controller update == one vmap update, same inputs."""
+def test_chees_update_matches_vmap(rng_key):
+    """One sharded controller update == one vmap update, same inputs.
+
+    Scalar outputs are compared at ULP-level tolerance, not bit equality:
+    the psum reduces shard partial-sums in a different association order
+    than the vmap path's flat sum, which is a legitimate 1-ulp difference
+    (observed on rotating daily seeds)."""
     n, d = 32, 4
     ks = jax.random.split(rng_key, 5)
     prop_pos = jax.random.normal(ks[0], (n, d))
@@ -105,10 +110,17 @@ def test_chees_update_bit_matches_vmap(rng_key):
         check_vma=False,
     )(prop_pos, prop_mom, init_pos, acc, div, imm)
 
-    assert float(out.step_size) == float(ref.step_size)
-    assert float(out.trajectory_length) == float(ref.trajectory_length)
-    assert float(out.log_trajectory_length_moving_average) == float(
-        ref.log_trajectory_length_moving_average
+    ulp = 5e-15 if jax.config.jax_enable_x64 else 3e-6
+    np.testing.assert_allclose(
+        float(out.step_size), float(ref.step_size), rtol=ulp
+    )
+    np.testing.assert_allclose(
+        float(out.trajectory_length), float(ref.trajectory_length), rtol=ulp
+    )
+    np.testing.assert_allclose(
+        float(out.log_trajectory_length_moving_average),
+        float(ref.log_trajectory_length_moving_average),
+        rtol=ulp,
     )
 
 
