@@ -34,6 +34,21 @@ jax.config.update("jax_enable_x64", X64)
 import pytest  # noqa: E402
 
 
+_TESTS_SINCE_CACHE_CLEAR = [0]
+
+
+def pytest_runtest_teardown(item, nextitem):
+    # A single pytest process accumulates hundreds of XLA CPU executables;
+    # past ~500 compiles the backend has been observed to segfault inside
+    # backend_compile (late-suite, state-dependent). Dropping the caches
+    # every 100 tests bounds that state; individual tests never rely on
+    # cross-test compilation caching.
+    _TESTS_SINCE_CACHE_CLEAR[0] += 1
+    if _TESTS_SINCE_CACHE_CLEAR[0] >= 100:
+        _TESTS_SINCE_CACHE_CLEAR[0] = 0
+        jax.clear_caches()
+
+
 def pytest_collection_modifyitems(config, items):
     # durations-driven tiering: tests listed in tests/slow_tests.txt get the
     # ``slow`` marker (regenerate the list from ``pytest --durations``), so
