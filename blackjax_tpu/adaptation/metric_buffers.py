@@ -212,7 +212,9 @@ def raw_draw_ring_buffer(d: int, capacity: int) -> MetricBuffer:
 
     def get_support(state: RawDrawRingState):
         n_valid = jnp.minimum(state.count, capacity)
-        return n_valid, valid_mask(state).astype(jnp.float64)
+        # mask in the buffer's own float dtype (hard-coding float64 raises
+        # under jax_enable_x64=False)
+        return n_valid, valid_mask(state).astype(state.draws.dtype)
 
     def get_diag_reference(state: RawDrawRingState) -> Array:
         return diag_from_moment_block(get_moments(state))

@@ -254,12 +254,13 @@ def test_draws_svd_masked_matches_subset(rng_key):
     padded = jnp.concatenate([draws, jnp.full((4, d), 99.0)])  # garbage rows
     mask = jnp.arange(n + 4) < n
     masked = me.draws_singular_value_low_rank(padded, 2, row_mask=mask)
-    np.testing.assert_allclose(np.asarray(masked.sigma), np.asarray(full.sigma), rtol=1e-10)
-    np.testing.assert_allclose(np.asarray(masked.lam), np.asarray(full.lam), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(masked.sigma), np.asarray(full.sigma), rtol=TIGHT)
+    np.testing.assert_allclose(np.asarray(masked.lam), np.asarray(full.lam), rtol=TIGHT * 100)
     # eigenvectors up to sign
+    vec_tol = 1e-8 if jax.config.jax_enable_x64 else 1e-4
     for k in range(2):
         a, b = np.asarray(masked.U[:, k]), np.asarray(full.U[:, k])
-        assert min(np.abs(a - b).max(), np.abs(a + b).max()) < 1e-8
+        assert min(np.abs(a - b).max(), np.abs(a + b).max()) < vec_tol
 
 
 def test_draws_svd_recipe_recovers_planted_structure(rng_key):

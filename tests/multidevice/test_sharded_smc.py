@@ -45,7 +45,7 @@ def test_sharded_resampler_matches_single_device(rng_key, scheme):
     sharded = jax.shard_map(
         run, mesh=mesh, in_specs=(rep, p, p), out_specs=(p, p), check_vma=False
     )
-    particles = jnp.arange(N, dtype=jnp.float64)
+    particles = jnp.arange(N) * 1.0
     out, ancestors = sharded(key_r, weights, particles)
 
     np.testing.assert_array_equal(np.asarray(ancestors), np.asarray(reference))
@@ -60,8 +60,8 @@ def test_sharded_resampler_pytree_and_matrix_leaves(rng_key):
     reference = resampling.systematic(key_r, weights, N)
 
     particles = {
-        "x": jnp.arange(N, dtype=jnp.float64),
-        "m": jnp.arange(N * 3, dtype=jnp.float64).reshape(N, 3),
+        "x": jnp.arange(N) * 1.0,
+        "m": (jnp.arange(N * 3) * 1.0).reshape(N, 3),
     }
     mesh = particles_mesh()
     p, rep = PartitionSpec("particles"), PartitionSpec()
@@ -89,7 +89,7 @@ def test_sharded_resampler_num_resampled(rng_key):
     mesh = particles_mesh()
     p, rep = PartitionSpec("particles"), PartitionSpec()
     resample = psmc.make_resampler("systematic", "particles", num_resampled=M)
-    particles = jnp.arange(N, dtype=jnp.float64)
+    particles = jnp.arange(N) * 1.0
     out, anc = jax.shard_map(
         lambda k, w, parts: resample(k, w, parts),
         mesh=mesh,

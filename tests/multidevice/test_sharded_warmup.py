@@ -39,7 +39,7 @@ def chains_mesh():
 
 def test_ring_gather_matches_global_indexing(rng_key):
     n, d = 64, 3
-    x = {"a": jnp.arange(n * d, dtype=jnp.float64).reshape(n, d), "b": jnp.arange(n) * 1.0}
+    x = {"a": (jnp.arange(n * d) * 1.0).reshape(n, d), "b": jnp.arange(n) * 1.0}
     idx = jax.random.permutation(rng_key, n)
     idx_blocks = idx.reshape(8, 8)
 

@@ -72,13 +72,16 @@ class TestStreaming:
         )
         trace_pos = np.asarray(states_trace.position)
         _, streamed = final_stream.streaming_avg
+        # f32: incremental averaging accumulates ~1e-4 relative rounding
+        # vs the post-hoc mean over 200 steps
+        tol = 1e-5 if jax.config.jax_enable_x64 else 5e-4
         np.testing.assert_allclose(
-            np.asarray(streamed["mean"]), trace_pos.mean(0), rtol=1e-5
+            np.asarray(streamed["mean"]), trace_pos.mean(0), rtol=tol
         )
         np.testing.assert_allclose(
             np.asarray(streamed["second_moment"]),
             (trace_pos**2).mean(0),
-            rtol=1e-5,
+            rtol=tol,
         )
 
 
