@@ -340,3 +340,58 @@ def test_staged_adaptation_metric_auto_multichain(rng_key):
     assert verdict.route in ("diagonal", "low_rank", "reparam_suggested")
     # buffers are stripped by the slimming info fn; n_chains falls back
     assert verdict.flags["n_chains"] in (n_chains, -1)
+
+
+def test_multi_chain_core_stays_diagonal_on_isotropic(rng_key):
+    """Isotropic draws across 8 chains: neither branch may fire — the null
+    guard of the multi-chain detector (false escalation would deploy a junk
+    low-rank metric on every well-conditioned problem)."""
+    d, M, n = 6, 8, 250
+    core = build_multi_chain_meta_core(800_000, n_chains=M, max_rank=3)
+    state = core.init(d)
+
+    @jax.jit
+    def run_window(state, key):
+        draws = jax.random.normal(key, (n, M, d))
+        grads = -draws
+        state, _ = jax.lax.scan(
+            lambda s, xg: (core.update(s, xg[0], xg[1]), None), state, (draws, grads)
+        )
+        return core.final(state)
+
+    for key in jax.random.split(rng_key, 2):
+        state = run_window(state, key)
+
+    assert not bool(state.has_escalated)
+    verdict = extract_multi_chain_verdict(state, 800_000, 2 * n * M)
+    assert verdict.route == "diagonal"
+
+
+def test_multi_chain_core_mode_split_does_not_escalate(rng_key):
+    """Chains parked at two separated modes look like a between-chain spike,
+    but the unimodality gate must veto the escalation — a bimodal target
+    needs reparameterization/ensemble handling, not a low-rank metric."""
+    d, M, n = 6, 8, 250
+    v = jnp.ones(d) / jnp.sqrt(d)
+    centers = jnp.where((jnp.arange(M) % 2 == 0)[:, None], 8.0 * v, -8.0 * v)
+
+    core = build_multi_chain_meta_core(800_000, n_chains=M, max_rank=3)
+    state = core.init(d)
+
+    @jax.jit
+    def run_window(state, key):
+        z = jax.random.normal(key, (n, M, d))
+        draws = centers[None, :, :] + 0.3 * z  # tight isotropic local modes
+        grads = -(draws - centers[None, :, :]) / 0.09
+        state, _ = jax.lax.scan(
+            lambda s, xg: (core.update(s, xg[0], xg[1]), None), state, (draws, grads)
+        )
+        return core.final(state)
+
+    for key in jax.random.split(rng_key, 3):
+        state = run_window(state, key)
+
+    assert not bool(state.has_escalated)
+    # the detector saw the structure but routed it to the ensemble/reparam
+    # path instead of deploying a metric
+    assert bool(state.deferred_to_ensemble) or int(state.unimodality_flag_count) > 0
