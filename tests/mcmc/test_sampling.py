@@ -82,6 +82,12 @@ def _algorithms(rng_key):
             ),
             2500,
         ),
+        "adjusted_mclmc_dynamic": (
+            blackjax_tpu.adjusted_mclmc_dynamic(
+                normal_logdensity, step_size=0.8
+            ),
+            3000,
+        ),
     }
 
 
@@ -97,6 +103,7 @@ def _algorithms(rng_key):
         "mclmc",
         "adjusted_mclmc",
         "dynamic_hmc",
+        "adjusted_mclmc_dynamic",
     ],
 )
 def test_univariate_normal_moments(name, rng_key):
