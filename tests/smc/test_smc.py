@@ -44,6 +44,31 @@ def test_dichotomy_solver():
     np.testing.assert_allclose(float(root), 2.0, atol=1e-3)
     # feasible whole interval
     assert float(solver.dichotomy(f, 0.0, 1.0)) == 1.0
+    # no root in the interval (f negative everywhere): NaN sentinel
+    assert np.isnan(float(solver.dichotomy(lambda x: -1.0 - x, 0.0, 1.0)))
+    # the returned left endpoint always has f >= 0 (tempering never
+    # overshoots the target ESS)
+    g = lambda x: 3.7 - x
+    r = solver.dichotomy(g, 0.0, 10.0)
+    assert float(g(r)) >= 0.0
+    # jit-compatible (it runs inside the tempering step)
+    r_jit = jax.jit(lambda: solver.dichotomy(f, 0.0, 10.0))()
+    np.testing.assert_allclose(float(r_jit), float(root), rtol=1e-12)
+
+
+def test_ess_solver_sign_contract():
+    """ess_solver must target delta*loglik with the same sign as the weight
+    update: on an asymmetric log-likelihood the returned increment gives
+    exactly the target ESS under delta*loglik (a flipped sign would not)."""
+    from blackjax_tpu.smc.ess import ess, ess_solver, log_ess
+
+    loglik_vals = jnp.concatenate([jnp.zeros(900), -20.0 * jnp.ones(100)])
+    target = 0.93  # only reachable with the correct sign
+    delta = ess_solver(
+        lambda x: x, loglik_vals, target, 1.0, solver.dichotomy
+    )
+    achieved = float(ess(delta * loglik_vals)) / loglik_vals.shape[0]
+    np.testing.assert_allclose(achieved, target, rtol=1e-3)
 
 
 def _gaussian_model(dim=2):
