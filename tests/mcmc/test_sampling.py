@@ -132,3 +132,40 @@ def test_irmh_exact_on_gaussian(rng_key):
     state = algo.init(jnp.zeros(4))
     _, (states, infos) = run_inference_algorithm(rng_key, algo, 500, initial_state=state)
     assert np.asarray(infos.is_accepted).mean() > 0.99
+
+
+def test_rmh_asymmetric_proposal_correction(rng_key):
+    """A drifted proposal with the correct Hastings correction must still
+    target the distribution exactly; the same proposal treated as symmetric
+    must visibly bias the chain toward the drift — together they pin the
+    `proposal_logdensity_fn` term's sign and usage."""
+    drift, sig = 0.8, 1.0
+    target = lambda x: -0.5 * jnp.sum(x**2)
+
+    def proposal(key, x):
+        return x + drift + sig * jax.random.normal(key, x.shape)
+
+    def proposal_logdensity(new_state, prev_state):
+        # convention (random_walk.py:_transition_energy): called as
+        # (new, prev), returns the REVERSE proposal density log q(prev|new)
+        diff = prev_state.position - new_state.position - drift
+        return -0.5 * jnp.sum(diff**2) / sig**2
+
+    def run(algo, key, n=8000):
+        state = algo.init(jnp.zeros(1))
+        step = jax.jit(algo.step)
+        xs = []
+        for i in range(n):
+            state, _ = step(jax.random.fold_in(key, i), state)
+            xs.append(float(state.position[0]))
+        return np.asarray(xs)[1000:]
+
+    corrected = blackjax_tpu.rmh(target, proposal, proposal_logdensity)
+    xs = run(corrected, rng_key)
+    assert abs(xs.mean()) < 0.12, xs.mean()
+    assert abs(xs.std() - 1.0) < 0.1, xs.std()
+
+    # null experiment: the uncorrected chain drifts right
+    uncorrected = blackjax_tpu.rmh(target, proposal)
+    ys = run(uncorrected, jax.random.fold_in(rng_key, 99), n=4000)
+    assert ys.mean() > 0.2, ys.mean()
