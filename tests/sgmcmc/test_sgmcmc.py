@@ -179,3 +179,58 @@ def test_csgld_runs(rng_key):
         state = step(step_key, state, data[idx], 1e-3)
     assert np.isfinite(np.asarray(state.position)).all()
     np.testing.assert_allclose(float(state.energy_pdf.sum()), 1.0, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_csgld_escapes_modes_where_sgld_sticks(rng_key):
+    """Contour SGLD's flattened landscape must let the chain cross between
+    two well-separated modes at low temperature, where plain low-temperature
+    SGLD stays in its starting basin (Deng et al. 2022's headline property).
+    Full-batch gradients isolate the landscape effect."""
+    # mixture of N(-4, 0.5^2) and N(+4, 0.5^2)
+    def logdensity(x):
+        return jnp.squeeze(
+            jax.nn.logsumexp(
+                jnp.stack([-0.5 * (x - 4.0) ** 2 / 0.25, -0.5 * (x + 4.0) ** 2 / 0.25]),
+                axis=0,
+            )
+        )
+
+    grad_fn = lambda x, _minibatch: jax.grad(lambda y: jnp.sum(logdensity(y)))(x)
+    logdensity_est = lambda x, _minibatch: jnp.sum(logdensity(x))
+    num_steps = 6000
+
+    def crossings(samples):
+        signs = np.sign(samples)
+        return int(np.sum(signs[1:] != signs[:-1]))
+
+    # plain SGLD at the temperature CSGLD uses for its diffusion
+    sgld = blackjax_tpu.sgld(grad_fn)
+    pos = jnp.array([4.0])
+
+    def sgld_body(p, key):
+        p = sgld.step(key, p, None, 5e-3, temperature=0.05)
+        return p, p[0]
+
+    _, sgld_trace = jax.lax.scan(
+        sgld_body, pos, jax.random.split(rng_key, num_steps)
+    )
+
+    csgld = blackjax_tpu.csgld(
+        logdensity_est, grad_fn, zeta=200.0, temperature=0.05,
+        num_partitions=80, energy_gap=0.5, min_energy=0.0,
+    )
+
+    def csgld_body(state, key):
+        state = csgld.step(key, state, None, 5e-3, 0.03)
+        return state, state.position[0]
+
+    _, csgld_trace = jax.lax.scan(
+        csgld_body, csgld.init(pos), jax.random.split(jax.random.fold_in(rng_key, 1), num_steps)
+    )
+
+    n_sgld = crossings(np.asarray(sgld_trace))
+    n_csgld = crossings(np.asarray(csgld_trace))
+    assert np.isfinite(np.asarray(csgld_trace)).all()
+    assert n_sgld == 0, n_sgld  # stuck at low temperature
+    assert n_csgld >= 2, n_csgld  # the flattened landscape lets it travel
