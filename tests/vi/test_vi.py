@@ -132,3 +132,20 @@ def test_schrodinger_follmer(rng_key):
     final = algo.sample(rng_key, state, 500)
     samples = np.asarray(final.position)
     np.testing.assert_allclose(samples.mean(0), np.asarray(LOC), atol=0.3)
+
+
+def test_svgd_repulsion_prevents_collapse(rng_key):
+    """SVGD must approximate the whole distribution, not just its mode: the
+    kernel repulsion keeps the particle spread near the target scales (a
+    pure gradient flow would collapse every particle onto the MAP)."""
+    algo = blackjax_tpu.svgd(jax.grad(logdensity), optax.sgd(0.25))
+    particles = jax.random.normal(rng_key, (150, 2)) * 3.0
+    state = algo.init(particles)
+    step = jax.jit(algo.step)
+    for _ in range(500):
+        state = step(state)
+    final = np.asarray(state.particles)
+    np.testing.assert_allclose(final.mean(0), np.asarray(LOC), atol=0.2)
+    # spread tracks the target scales — neither collapsed nor unmoved
+    np.testing.assert_allclose(final.std(0), np.asarray(SCALES), rtol=0.35)
+    assert final.std(0).min() > 0.3
