@@ -22,6 +22,8 @@ from blackjax_tpu.mcmc.adjusted_mclmc import rescale
 from blackjax_tpu.mcmc.adjusted_mclmc import build_kernel as build_static_kernel
 from blackjax_tpu.mcmc.dynamic_hmc import (
     DynamicHMCState,
+    _fresh_key,
+    _uniform_steps,
     halton_sequence,
     lift_drawn_steps,
 )
@@ -36,12 +38,6 @@ __all__ = [
 ]
 
 
-def _fresh_key(key):
-    return jax.random.split(key)[1]
-
-
-def _uniform_steps(key):
-    return jax.random.randint(key, (), 1, 10)
 
 
 def init(

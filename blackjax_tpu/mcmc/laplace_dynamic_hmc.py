@@ -14,6 +14,7 @@ import jax
 
 from blackjax_tpu.base import SamplingAlgorithm, build_sampling_algorithm
 from blackjax_tpu.mcmc import dynamic_hmc, hmc, integrators, metrics
+from blackjax_tpu.mcmc.dynamic_hmc import _fresh_key, _uniform_steps
 from blackjax_tpu.mcmc.laplace_hmc import run_warm_started
 from blackjax_tpu.mcmc.laplace_marginal import (
     LaplaceHMCInfo,
@@ -25,12 +26,6 @@ from blackjax_tpu.types import Array, ArrayLikeTree, ArrayTree, PRNGKey
 __all__ = ["LaplaceDynamicHMCState", "init", "build_kernel", "as_top_level_api"]
 
 
-def _fresh_key(key):
-    return jax.random.split(key)[1]
-
-
-def _uniform_steps(key):
-    return jax.random.randint(key, (), 1, 10)
 
 
 class LaplaceDynamicHMCState(NamedTuple):

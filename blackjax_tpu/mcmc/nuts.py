@@ -362,8 +362,11 @@ def build_fused_many_steps(
         S = num_steps
         T = m * S
         # the sliding write window in cursor space: slots concentrate (the
-        # point of oversubscription), so one chain-length is generous
-        W = min(S if window_size is None else window_size, T)
+        # point of oversubscription), so one chain-length is generous. W must
+        # stay <= S: the finals write assumes cursors within a width-2 slab
+        # of chain-lengths (cursor//S - offset//S <= 1), which only holds
+        # when the window cannot span more than one full chain
+        W = S if window_size is None else min(window_size, S)
 
         slot_init = jax.tree.map(lambda x: x[:P], init_states)
         machines = jax.vmap(start_transition)(rng_keys[0, :P], slot_init)

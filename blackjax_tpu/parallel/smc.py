@@ -36,7 +36,6 @@ single-device kernels in :mod:`blackjax_tpu.smc.resampling` — sharding is an
 execution detail, not a statistical change; tests assert exact ancestor
 equality against the single-device kernels.
 """
-from functools import partial
 from typing import Callable, NamedTuple, Optional, Union
 
 import jax
@@ -44,7 +43,6 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec
 
-from blackjax_tpu.smc import base as smc_base
 from blackjax_tpu.smc import solver as smc_solver
 from blackjax_tpu.smc import tempered
 from blackjax_tpu.smc.base import SMCInfo, SMCState
@@ -151,7 +149,11 @@ def make_resampler(
         shard_totals = lax.all_gather(local_cdf[-1], axis_name)  # (ndev,)
         boundaries = jnp.cumsum(shard_totals)
         total = boundaries[-1]
-        lower = boundaries - shard_totals  # exclusive scan over shards
+        # exclusive scan over shards MUST reuse the inclusive cumsum values
+        # bit-for-bit: computing it as boundaries - shard_totals can exceed
+        # boundaries[s-1] by 1 ulp, leaving (lo, hi] spans that tile the line
+        # with gaps — positions falling in a gap would be claimed by NO shard
+        lower = jnp.concatenate([jnp.zeros((1,), boundaries.dtype), boundaries[:-1]])
 
         pos = _positions(rng_key, scheme, m_local, m_total, me, weights.dtype)
         pos = pos * total  # unnormalized-CDF scale

@@ -231,3 +231,30 @@ def test_while_with_info_runs_to_length(rng_key):
         step, jnp.asarray(0.0), jnp.ones(5), 5, lambda info, i: jnp.asarray(True)
     )
     assert int(counter) == 5 and float(final) == 5.0
+
+
+def test_oversubscribed_with_large_window_matches_m1(mesh, rng_key):
+    """Regression: an explicit window_size larger than num_steps used to
+    escape the finals write's width-2 slab in the oversubscribed runner,
+    silently zeroing some chains' final states. The window must clamp to S."""
+    from blackjax_tpu.mcmc.nuts import build_fused_many_steps
+
+    C, S, D = 16, 6, 4
+    ld = lambda x: -0.5 * jnp.sum(x**2)
+    algo = blackjax_tpu.nuts(ld, step_size=0.3, inverse_mass_matrix=jnp.ones(D))
+    states = jax.vmap(algo.init)(jax.random.normal(rng_key, (C, D)))
+    step_keys = jax.random.split(jax.random.fold_in(rng_key, 3), S)
+    rng_keys = jax.vmap(lambda k: jax.random.split(k, C))(step_keys)
+
+    base = build_fused_many_steps(ld, 0.3, jnp.ones(D), num_steps=S)
+    final_ref, hist_ref, _ = jax.jit(base)(rng_keys, states)
+
+    over = build_fused_many_steps(
+        ld, 0.3, jnp.ones(D), num_steps=S, oversubscription=4, window_size=4 * S
+    )
+    final_ov, hist_ov, _ = jax.jit(over)(rng_keys, states)
+    np.testing.assert_array_equal(np.asarray(hist_ov), np.asarray(hist_ref))
+    np.testing.assert_array_equal(
+        np.asarray(final_ov.position), np.asarray(final_ref.position)
+    )
+    assert np.any(np.asarray(final_ov.position) != 0.0)

@@ -420,3 +420,28 @@ def test_ring_gather_matches_single_device_ancestor_gather(rng_key):
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(params[ancestors_single])
     )
+
+
+def test_sharded_resampler_exact_over_many_draws(rng_key):
+    """Regression sweep for the shard-boundary claim logic: across many
+    random weight vectors every output slot must be claimed and the
+    ancestors must equal the single-device kernel exactly (the old
+    subtraction-based exclusive scan could open 1-ulp gaps between shard
+    spans in which a position was claimed by NO shard)."""
+    mesh = particles_mesh()
+    p, rep = PartitionSpec("particles"), PartitionSpec()
+    resample = psmc.make_resampler("systematic", "particles")
+    sharded = jax.shard_map(
+        lambda k, w, parts: resample(k, w, parts)[1],
+        mesh=mesh,
+        in_specs=(rep, p, p),
+        out_specs=p,
+        check_vma=False,
+    )
+    particles = jnp.arange(N) * 1.0
+    for i in range(25):
+        key_w, key_r = jax.random.split(jax.random.fold_in(rng_key, i))
+        w = _random_weights(key_w)
+        anc = sharded(key_r, w, particles)
+        ref = resampling.systematic(key_r, w, N)
+        np.testing.assert_array_equal(np.asarray(anc), np.asarray(ref))
