@@ -179,3 +179,68 @@ def test_evidence_monotone_and_volume_shrinks(rng_key):
         logxs.append(float(state.integrator.logX))
     assert all(b >= a for a, b in zip(logzs, logzs[1:]))
     assert all(b < a for a, b in zip(logxs, logxs[1:]))
+
+
+def test_nss_direction_mahalanobis_length(rng_key):
+    """Directions drawn from a covariance factor must have Mahalanobis
+    length exactly 2 under that covariance, and their Euclidean geometry
+    must reflect the covariance anisotropy."""
+    from blackjax_tpu.ns.nss import sample_direction_from_covariance
+
+    cov = jnp.diag(jnp.array([9.0, 0.25]))
+    pos = jnp.zeros(2)
+    dirs = jnp.stack(
+        [
+            sample_direction_from_covariance(jax.random.fold_in(rng_key, i), pos, cov)
+            for i in range(200)
+        ]
+    )
+    maha = jnp.einsum("nd,dc,nc->n", dirs, jnp.linalg.inv(cov), dirs)
+    np.testing.assert_allclose(np.asarray(maha), 4.0, rtol=1e-5)
+    # anisotropy: the long axis dominates in Euclidean length
+    assert float(jnp.abs(dirs[:, 0]).mean()) > 3.0 * float(jnp.abs(dirs[:, 1]).mean())
+
+
+def test_nss_covariance_proposal_gates_on_contour(rng_key):
+    """The hit-and-run slice function must mark points valid exactly when
+    their likelihood exceeds the contour threshold."""
+    import functools
+
+    from blackjax_tpu.ns.base import init_state_strategy
+    from blackjax_tpu.ns.nss import covariance_proposal
+
+    init_fn = functools.partial(
+        init_state_strategy, logprior_fn=logprior, loglikelihood_fn=loglik
+    )
+    contour = loglik(jnp.array([0.8, -0.5]))  # threshold at a known point
+    gen = covariance_proposal(init_fn, contour, cov=jnp.eye(2))
+    slice_fn = gen(rng_key, jnp.asarray(MU), loglik)
+
+    probe_in, valid_in = slice_fn(jnp.asarray(0.0))  # at the likelihood peak
+    assert bool(valid_in)
+    assert float(probe_in.loglikelihood) > float(contour)
+    # far along the direction: outside the contour
+    _, valid_out = slice_fn(jnp.asarray(50.0))
+    assert not bool(valid_out)
+
+
+def test_nss_live_callbacks_shapes(rng_key):
+    """The adaptive callbacks must emit parameter dicts shaped for the
+    kernels: dense cov, its Cholesky factor, and per-axis widths."""
+    from blackjax_tpu.ns import nss
+
+    algo = blackjax_tpu.nss(logprior, loglik, num_inner_steps=2, num_delete=5)
+    positions = SIGMA_PI * jax.random.normal(rng_key, (40, D))
+    state = algo.init(positions, rng_key=rng_key)
+
+    cov = nss.live_covariance(rng_key, state, None)["cov"]
+    factor = nss.live_covariance_factor(rng_key, state, None)["covariance_factor"]
+    widths = nss.live_widths(rng_key, state, None)["widths"]
+    assert cov.shape == (D, D)
+    np.testing.assert_allclose(
+        np.asarray(factor @ factor.T), np.asarray(cov), rtol=1e-5
+    )
+    assert widths.shape == (D,)
+    np.testing.assert_allclose(
+        np.asarray(widths) ** 2, np.diag(np.asarray(cov)), rtol=1e-5
+    )
