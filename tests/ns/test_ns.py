@@ -244,3 +244,19 @@ def test_nss_live_callbacks_shapes(rng_key):
     np.testing.assert_allclose(
         np.asarray(widths) ** 2, np.diag(np.asarray(cov)), rtol=1e-5
     )
+
+
+def test_nss_inner_kernel_params_adapt_to_contraction(rng_key):
+    """The carried covariance factor must shrink as the live set contracts
+    onto the likelihood peak — the adaptation loop is actually adapting."""
+    algo = blackjax_tpu.nss(logprior, loglik, num_inner_steps=3, num_delete=10)
+    positions = SIGMA_PI * jax.random.normal(rng_key, (100, D))
+    state = algo.init(positions, rng_key=rng_key)
+    norm0 = float(jnp.linalg.norm(state.inner_kernel_params["covariance_factor"]))
+    step = jax.jit(algo.step)
+    key = rng_key
+    for _ in range(40):
+        key, subkey = jax.random.split(key)
+        state, _ = step(subkey, state)
+    norm1 = float(jnp.linalg.norm(state.inner_kernel_params["covariance_factor"]))
+    assert norm1 < 0.6 * norm0, (norm0, norm1)
