@@ -484,6 +484,7 @@ def run_adaptive_tempered_smc(
     axis_name: Optional[str] = None,
     waste_free_p: Optional[int] = None,
     mcmc_parameter_update_fn: Optional[Callable] = None,
+    initial_state: Optional[ShardedSMCResult] = None,
 ) -> ShardedSMCResult:
     """Run the full prior→posterior tempering loop with particles sharded
     over ``mesh``. Control crosses the device boundary once: the whole
@@ -504,6 +505,12 @@ def run_adaptive_tempered_smc(
     or ``lax.psum(..., axis_name)``). The returned dict must have the same
     structure/shapes as ``mcmc_parameters`` (it is the scan carry); shared
     entries must stay replicated across shards.
+
+    ``initial_state`` (a previous :class:`ShardedSMCResult`, e.g. restored
+    from a checkpoint) warm-starts the loop: weights, tempering parameter,
+    accumulated log-normalizer, and (tuned) parameters all carry over, so a
+    long tempering run can be split across jobs; ``max_steps`` bounds each
+    leg independently.
 
     Per-particle parameter POPULATIONS (the pretuning strategy,
     :mod:`blackjax_tpu.smc.pretuning`) compose through the same hook: the
@@ -526,12 +533,8 @@ def run_adaptive_tempered_smc(
         waste_free_p=waste_free_p,
     )
 
-    def run(rng_key, particles, params):
-        n_local = jax.tree.leaves(particles)[0].shape[0]
-        n_total = n_local * lax.axis_size(axis_name)
-        state = tempered.TemperedSMCState(
-            particles, jnp.full(n_local, 1.0 / n_total), jnp.asarray(0.0)
-        )
+    def run(rng_key, particles, weights, tempering_param, log_z0, params):
+        state = tempered.TemperedSMCState(particles, weights, tempering_param)
 
         def cond(carry):
             state, _, i, _, _ = carry
@@ -546,7 +549,7 @@ def run_adaptive_tempered_smc(
             return state, key, i + 1, log_z + info.log_likelihood_increment, params
 
         state, _, n, log_z, params = lax.while_loop(
-            cond, body, (state, rng_key, jnp.asarray(0), jnp.asarray(0.0), params)
+            cond, body, (state, rng_key, jnp.asarray(0), log_z0, params)
         )
         return ShardedSMCResult(
             state.particles, state.weights, state.tempering_param, log_z, n, params
@@ -559,17 +562,43 @@ def run_adaptive_tempered_smc(
         lambda v: rep if (jnp.ndim(v) == 0 or jnp.shape(v)[0] == 1) else p,
         mcmc_parameters,
     )
+    particles_ref = (
+        initial_particles if initial_state is None else initial_state.particles
+    )
     sharded = jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(rep, p, param_specs),
+        in_specs=(rep, p, p, rep, rep, param_specs),
         out_specs=ShardedSMCResult(
-            jax.tree.map(lambda _: p, initial_particles), p, rep, rep, rep,
+            jax.tree.map(lambda _: p, particles_ref), p, rep, rep, rep,
             param_specs,
         ),
         check_vma=False,  # replicated-ness of solver outputs is by construction
     )
+    if initial_state is not None:
+        # warm start (checkpoint resume): continue the tempering loop from a
+        # previous ShardedSMCResult — its weights/lambda/log_z and (tuned)
+        # parameters carry over; num_steps counts this leg only
+        particles = jax.device_put(
+            initial_state.particles, NamedSharding(mesh, p)
+        )
+        weights = jax.device_put(initial_state.weights, NamedSharding(mesh, p))
+        return sharded(
+            rng_key,
+            particles,
+            weights,
+            jnp.asarray(initial_state.tempering_param),
+            jnp.asarray(initial_state.log_likelihood),
+            initial_state.mcmc_parameters,
+        )
     initial_particles = jax.device_put(
         initial_particles, NamedSharding(mesh, p)
     )
-    return sharded(rng_key, initial_particles, mcmc_parameters)
+    n_particles = jax.tree.leaves(initial_particles)[0].shape[0]
+    uniform = jax.device_put(
+        jnp.full(n_particles, 1.0 / n_particles), NamedSharding(mesh, p)
+    )
+    return sharded(
+        rng_key, initial_particles, uniform, jnp.asarray(0.0), jnp.asarray(0.0),
+        mcmc_parameters,
+    )
