@@ -150,9 +150,11 @@ def _weighted_mean(x, w, axis_name=None):
 
 
 def _axis_nanmean(x, axis_name=None):
-    finite = jnp.isfinite(x)
-    total = _axis_sum(jnp.sum(jnp.where(finite, x, 0.0), axis=0), axis_name)
-    count = _axis_sum(jnp.sum(finite, axis=0), axis_name)
+    # mask NaN only (nanmean parity with the unsharded reference path:
+    # +/-inf entries stay in the mean, exactly like jnp.nanmean)
+    counted = ~jnp.isnan(x)
+    total = _axis_sum(jnp.sum(jnp.where(counted, x, 0.0), axis=0), axis_name)
+    count = _axis_sum(jnp.sum(counted, axis=0), axis_name)
     return total / count
 
 

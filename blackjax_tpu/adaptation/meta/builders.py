@@ -16,6 +16,11 @@ Single-chain decision summary: escalate iff
 Pre-escalation the deployed metric is the Welford diagonal (measured better
 than the Fisher diagonal on every stay-diagonal class); post-escalation it
 is the Fisher low-rank metric (nutpie Algorithm 1).
+
+Structure: both cores share a ring-buffer writer, a masked-moment reducer,
+a budget/deadline gate, low-rank metric assembly helpers, and the AIRM
+advisory bookkeeping; decisions are expressed through small named predicate
+helpers rather than inline conjunction chains.
 """
 import warnings
 
@@ -83,35 +88,100 @@ from blackjax_tpu.types import Array, ArrayLikeTree
 __all__ = ["build_meta_adaptation_core", "build_multi_chain_meta_core"]
 
 
-def _clip_r2(r2):
-    """Garbage fits (< -10) go to NaN (the deferred path); cap at 1."""
-    return jnp.where(
-        r2 < -10.0,
-        jnp.asarray(float("nan"), r2.dtype),
-        jnp.clip(r2, max=1.0),
+# --------------------------------------------------------------------------
+# shared machinery
+# --------------------------------------------------------------------------
+
+
+def _window_capacity(budget_steps: int, rank_cap: int) -> int:
+    """Rows to allocate for one window's draw/grad buffers: half the step
+    budget, floored at 256 and at the training-ratio minimum for the rank
+    cap, never exceeding the budget itself (overflow wraps; RESET keeps the
+    newest rows)."""
+    rows = min(max(budget_steps // 2, 256), budget_steps)
+    rows = max(rows, 2 * (rank_cap + 1) * _MIN_TRAIN_K_RATIO)
+    return min(rows, budget_steps)
+
+
+def _effective_rank(rank_cap: int, n_dims: int) -> int:
+    return min(rank_cap, max(n_dims // 2, 1), _MAX_RANK_CAP)
+
+
+def _ring_write(buffer: Array, row: Array, slot) -> Array:
+    """Write one flattened sample into the wrap-around window buffer."""
+    return buffer.at[slot].set(row)
+
+
+def _push_pair(state, position, grad):
+    """Shared update body: flatten and append one (position, gradient) pair
+    per chain into the ring buffers."""
+    slot = state.buffer_idx % state.draws_buffer.shape[-2]
+    pos_flat = fu.ravel_pytree(position)[0]
+    grad_flat = fu.ravel_pytree(grad)[0]
+    return (
+        _ring_write(state.draws_buffer, pos_flat, slot),
+        _ring_write(state.grads_buffer, grad_flat, slot),
     )
 
 
-def _airm_advance(state, lam_lr, new_has_escalated):
-    """Shared AIRM-velocity advisory bookkeeping: track the lam change norm
+def _masked_moments(rows: Array, n):
+    """Mean and (n-1)-normalized variance of the first ``n`` rows."""
+    count = n.astype(rows.dtype)
+    alive = (jnp.arange(rows.shape[0]) < n).astype(rows.dtype)[:, None]
+    mean = (alive * rows).sum(0) / jnp.maximum(count, 1.0)
+    ss = (alive * jnp.square(rows - mean[None, :])).sum(0)
+    return mean, ss / jnp.maximum(count - 1.0, 1.0)
+
+
+def _sanitize_r2(r2):
+    """Garbage fits (< -10) go to NaN (the deferred path); cap at 1."""
+    bad = r2 < -10.0
+    return jnp.where(bad, jnp.asarray(float("nan"), r2.dtype), jnp.clip(r2, max=1.0))
+
+
+def _deadline_gate(budget_steps: int, used_steps, k_new):
+    """Enough budget must remain to exploit an escalation: 2k training steps
+    plus the step-size re-adaptation buffer."""
+    left = jnp.int32(budget_steps) - used_steps.astype(jnp.int32)
+    return left >= 2 * k_new + jnp.int32(_STEP_SIZE_READAPT_BUFFER)
+
+
+def _diag_as_low_rank(sigma, rank):
+    """A pure-diagonal metric in LowRankInverseMassMatrix clothing (U=0)."""
+    return LowRankInverseMassMatrix(
+        sigma=sigma,
+        U=jnp.zeros((sigma.shape[0], rank), sigma.dtype),
+        lam=jnp.ones(rank, sigma.dtype),
+    )
+
+
+def _select_imm(escalated, lr_imm, sigma_diag, rank):
+    """Deploy the low-rank candidate when escalated, else the diagonal."""
+    diag_imm = _diag_as_low_rank(sigma_diag, rank)
+    return jax.lax.cond(escalated, lambda: lr_imm, lambda: diag_imm)
+
+
+def _airm_advance(state, lam_lr, escalated):
+    """AIRM-velocity advisory bookkeeping: track the lam change norm
     post-escalation; record the first step where two consecutive windows are
     below tolerance."""
-    lam_diff = jnp.linalg.norm(lam_lr - state.prev_lam.astype(lam_lr.dtype)).astype(
+    lam_step = jnp.linalg.norm(lam_lr - state.prev_lam.astype(lam_lr.dtype)).astype(
         jnp.float32
     )
     vel_prev = state.airm_vel_curr
-    vel_curr = jnp.where(new_has_escalated, lam_diff, state.airm_vel_curr)
-    converged_now = (
-        new_has_escalated
-        & (vel_curr < _AIRM_VELOCITY_TOL)
-        & (vel_prev < _AIRM_VELOCITY_TOL)
-    )
+    vel_curr = jnp.where(escalated, lam_step, state.airm_vel_curr)
+    settled = escalated & (vel_curr < _AIRM_VELOCITY_TOL) & (vel_prev < _AIRM_VELOCITY_TOL)
     converged_at = jnp.where(
-        (state.converged_at_step < 0) & converged_now,
+        (state.converged_at_step < 0) & settled,
         state.budget_used,
         state.converged_at_step,
     )
     return vel_prev, vel_curr, converged_at
+
+
+# --------------------------------------------------------------------------
+# single-chain core
+# --------------------------------------------------------------------------
 
 
 def build_meta_adaptation_core(
@@ -127,24 +197,21 @@ def build_meta_adaptation_core(
     via the conservative 20-grads-per-step assumption. Prefer x64 — the
     Fisher estimator pipeline is f32-fragile.
     """
-    _max_rank = _MAX_RANK_CAP if max_rank is None else max_rank
-    max_budget_steps = max(max_grad_budget // _ASSUMED_AVG_LEAPFROGS_PER_STEP, 1)
+    rank_cap = _MAX_RANK_CAP if max_rank is None else max_rank
+    budget_steps = max(max_grad_budget // _ASSUMED_AVG_LEAPFROGS_PER_STEP, 1)
 
     def init(n_dims: int) -> MetaAdaptationCoreState:
-        # half-budget ceiling; overflow is safe (RESET keeps the newest rows)
-        buf = min(max(max_budget_steps // 2, 256), max_budget_steps)
-        buf = max(buf, 2 * (_max_rank + 1) * _MIN_TRAIN_K_RATIO)
-        buf = min(buf, max_budget_steps)
-        actual_rank = min(_max_rank, max(n_dims // 2, 1), _MAX_RANK_CAP)
+        rows = _window_capacity(budget_steps, rank_cap)
+        rank = _effective_rank(rank_cap, n_dims)
         return MetaAdaptationCoreState(
             inverse_mass_matrix=LowRankInverseMassMatrix(
                 sigma=jnp.ones(n_dims),
-                U=jnp.zeros((n_dims, actual_rank)),
-                lam=jnp.ones(actual_rank),
+                U=jnp.zeros((n_dims, rank)),
+                lam=jnp.ones(rank),
             ),
             mu_star=jnp.zeros(n_dims),
-            draws_buffer=jnp.zeros((buf, n_dims)),
-            grads_buffer=jnp.zeros((buf, n_dims)),
+            draws_buffer=jnp.zeros((rows, n_dims)),
+            grads_buffer=jnp.zeros((rows, n_dims)),
             buffer_idx=jnp.zeros((), jnp.int32),
             background_split=jnp.zeros((), jnp.int32),
             recompute_counter=jnp.zeros((), jnp.int32),
@@ -156,120 +223,92 @@ def build_meta_adaptation_core(
             r2_mode=jnp.array(_R2_DEFERRED, jnp.int32),
             budget_used=jnp.zeros((), jnp.int32),
             converged_at_step=jnp.array(-1, jnp.int32),
-            prev_lam=jnp.ones(actual_rank, jnp.float32),
+            prev_lam=jnp.ones(rank, jnp.float32),
             airm_vel_prev=jnp.array(float("inf"), jnp.float32),
             airm_vel_curr=jnp.array(float("inf"), jnp.float32),
             is_slow_mixing=jnp.zeros((), jnp.bool_),
         )
 
     def update(state, position: ArrayLikeTree, grad=None) -> MetaAdaptationCoreState:
-        pos_flat, _ = fu.ravel_pytree(position)
-        grad_flat, _ = fu.ravel_pytree(grad)
-        B = state.draws_buffer.shape[0]
-        idx = state.buffer_idx % B
-        col0 = jnp.zeros((), idx.dtype)
+        draws, grads = _push_pair(state, position, grad)
         return state._replace(
-            draws_buffer=jax.lax.dynamic_update_slice(
-                state.draws_buffer, pos_flat[None, :], (idx, col0)
-            ),
-            grads_buffer=jax.lax.dynamic_update_slice(
-                state.grads_buffer, grad_flat[None, :], (idx, col0)
-            ),
+            draws_buffer=draws,
+            grads_buffer=grads,
             buffer_idx=state.buffer_idx + 1,
             budget_used=state.budget_used + 1,
         )
 
     def final(state: MetaAdaptationCoreState) -> MetaAdaptationCoreState:
-        B, d = state.draws_buffer.shape
-        n = jnp.minimum(state.buffer_idx, jnp.int32(B))
-        actual_rank = state.inverse_mass_matrix.U.shape[1]
+        rows, d = state.draws_buffer.shape
+        n = jnp.minimum(state.buffer_idx, jnp.int32(rows))
+        rank = state.inverse_mass_matrix.U.shape[1]
 
         # Welford sigma from the window buffer: the stay-diagonal metric AND
         # the whitening basis the S_gap/R^2 anchors were calibrated on
-        n_f = n.astype(state.draws_buffer.dtype)
-        n_safe = jnp.maximum(n_f, 1.0)
-        mask = (jnp.arange(B) < n).astype(state.draws_buffer.dtype)
-        mean_x = (mask[:, None] * state.draws_buffer).sum(0) / n_safe
-        var_x = (mask[:, None] * (state.draws_buffer - mean_x[None, :]) ** 2).sum(
-            0
-        ) / jnp.maximum(n_safe - 1.0, 1.0)
-        sigma_welford = jnp.sqrt(jnp.maximum(var_x, 1e-10))
+        _, var_x = _masked_moments(state.draws_buffer, n)
+        sigma_diag = jnp.sqrt(jnp.maximum(var_x, 1e-10))
 
-        # the escalated candidate: full Fisher low-rank metric
-        sigma_lr, mu_star_new, U_lr, lam_lr = _compute_low_rank_metric(
-            state.draws_buffer, state.grads_buffer, n, actual_rank, gamma, cutoff
-        )
-
-        diag_imm = LowRankInverseMassMatrix(
-            sigma=sigma_welford,
-            U=jnp.zeros((d, actual_rank), sigma_welford.dtype),
-            lam=jnp.ones(actual_rank, sigma_welford.dtype),
+        # escalated candidate: full Fisher low-rank metric
+        sigma_lr, mu_lr, U_lr, lam_lr = _compute_low_rank_metric(
+            state.draws_buffer, state.grads_buffer, n, rank, gamma, cutoff
         )
         lr_imm = LowRankInverseMassMatrix(sigma=sigma_lr, U=U_lr, lam=lam_lr)
 
+        # decision signals
         eigenvalues, U_k = _compute_whitened_spectrum(
-            state.draws_buffer, sigma_welford, n, actual_rank
+            state.draws_buffer, sigma_diag, n, rank
         )
-        k_new = _choose_rank(eigenvalues, n, actual_rank, cutoff)
-        s_gap_new = _compute_s_gap(eigenvalues, k_new)
-        r2_new, mode_new = _compute_r2_score_linearity(
-            state.draws_buffer, state.grads_buffer, sigma_welford, n, U_k, actual_rank
+        k_new = _choose_rank(eigenvalues, n, rank, cutoff)
+        s_gap = _compute_s_gap(eigenvalues, k_new)
+        r2, r2_mode = _compute_r2_score_linearity(
+            state.draws_buffer, state.grads_buffer, sigma_diag, n, U_k, rank
         )
-        r2_new = _clip_r2(r2_new)
-        is_slow = _compute_transient_mixing_signal(state.draws_buffer, sigma_welford, n)
+        r2 = _sanitize_r2(r2)
+        slow_mixing = _compute_transient_mixing_signal(state.draws_buffer, sigma_diag, n)
 
-        # the three escalation gates (NaN R^2 fails the comparison -> no gate)
-        r2_gate = r2_new >= _R_MIN
-        s_gap_prev_valid = ~jnp.isnan(state.s_gap_curr)
-        relative_change = jnp.abs(s_gap_new - state.s_gap_curr) / jnp.maximum(
-            s_gap_new, 1e-10
+        # the three gates (NaN R^2 fails its comparison -> no escalation)
+        curvature_ok = r2 >= _R_MIN
+        drift = jnp.abs(s_gap - state.s_gap_curr) / jnp.maximum(s_gap, 1e-10)
+        stability_ok = (
+            (s_gap >= _S_MIN)
+            & ~jnp.isnan(state.s_gap_curr)
+            & (drift < _S_GAP_STABILITY_TOL)
         )
-        s_gap_gate = (
-            (s_gap_new >= _S_MIN)
-            & s_gap_prev_valid
-            & (relative_change < _S_GAP_STABILITY_TOL)
-        )
-        budget_remaining = jnp.int32(max_budget_steps) - state.budget_used.astype(
-            jnp.int32
-        )
-        deadline_ok = budget_remaining >= 2 * k_new + jnp.int32(
-            _STEP_SIZE_READAPT_BUFFER
-        )
+        deadline_ok = _deadline_gate(budget_steps, state.budget_used, k_new)
 
-        escalate_now = ~state.has_escalated & r2_gate & s_gap_gate & deadline_ok
-        new_has_escalated = state.has_escalated | escalate_now
-        new_rank = jnp.where(escalate_now, k_new, state.escalation_rank)
+        fires = ~state.has_escalated & curvature_ok & stability_ok & deadline_ok
+        escalated = state.has_escalated | fires
 
-        chosen_imm = jax.lax.cond(new_has_escalated, lambda: lr_imm, lambda: diag_imm)
-        chosen_mu = jnp.where(new_has_escalated, mu_star_new, jnp.zeros_like(mu_star_new))
-
-        vel_prev, vel_curr, converged_at = _airm_advance(
-            state, lam_lr, new_has_escalated
-        )
+        vel_prev, vel_curr, converged_at = _airm_advance(state, lam_lr, escalated)
 
         return MetaAdaptationCoreState(
-            inverse_mass_matrix=chosen_imm,
-            mu_star=chosen_mu,
+            inverse_mass_matrix=_select_imm(escalated, lr_imm, sigma_diag, rank),
+            mu_star=jnp.where(escalated, mu_lr, jnp.zeros_like(mu_lr)),
             draws_buffer=jnp.zeros_like(state.draws_buffer),
             grads_buffer=jnp.zeros_like(state.grads_buffer),
             buffer_idx=jnp.zeros_like(state.buffer_idx),
             background_split=jnp.zeros_like(state.background_split),
             recompute_counter=jnp.zeros_like(state.recompute_counter),
-            has_escalated=new_has_escalated,
-            escalation_rank=new_rank,
+            has_escalated=escalated,
+            escalation_rank=jnp.where(fires, k_new, state.escalation_rank),
             s_gap_prev=state.s_gap_curr,
-            s_gap_curr=s_gap_new.astype(jnp.float32),
-            r2_latest=r2_new.astype(jnp.float32),
-            r2_mode=mode_new,
+            s_gap_curr=s_gap.astype(jnp.float32),
+            r2_latest=r2.astype(jnp.float32),
+            r2_mode=r2_mode,
             budget_used=state.budget_used,
             converged_at_step=converged_at,
             prev_lam=lam_lr.astype(jnp.float32),
             airm_vel_prev=vel_prev,
             airm_vel_curr=vel_curr,
-            is_slow_mixing=is_slow,
+            is_slow_mixing=slow_mixing,
         )
 
     return MetricCore(init=init, update=update, final=final)
+
+
+# --------------------------------------------------------------------------
+# multi-chain core
+# --------------------------------------------------------------------------
 
 
 def build_multi_chain_meta_core(
@@ -296,27 +335,22 @@ def build_multi_chain_meta_core(
             "unsafe below that. Use n_chains >= 6 (default 8).",
             stacklevel=2,
         )
-    _max_rank = _MAX_RANK_CAP if max_rank is None else max_rank
-    max_budget_steps_total = max(max_grad_budget // _ASSUMED_AVG_LEAPFROGS_PER_STEP, 1)
-    max_budget_steps_per_chain = max(max_budget_steps_total // n_chains, 1)
-    M = n_chains
+    rank_cap = _MAX_RANK_CAP if max_rank is None else max_rank
+    steps_total = max(max_grad_budget // _ASSUMED_AVG_LEAPFROGS_PER_STEP, 1)
+    steps_per_chain = max(steps_total // n_chains, 1)
 
     def init(n_dims: int) -> MultiChainMetaAdaptationCoreState:
-        buf = min(
-            max(max_budget_steps_per_chain // 2, 256), max_budget_steps_per_chain
-        )
-        buf = max(buf, 2 * (_max_rank + 1) * _MIN_TRAIN_K_RATIO)
-        buf = min(buf, max_budget_steps_per_chain)
-        actual_rank = min(_max_rank, max(n_dims // 2, 1), _MAX_RANK_CAP)
+        rows = _window_capacity(steps_per_chain, rank_cap)
+        rank = _effective_rank(rank_cap, n_dims)
         return MultiChainMetaAdaptationCoreState(
             inverse_mass_matrix=LowRankInverseMassMatrix(
                 sigma=jnp.ones(n_dims),
-                U=jnp.zeros((n_dims, actual_rank)),
-                lam=jnp.ones(actual_rank),
+                U=jnp.zeros((n_dims, rank)),
+                lam=jnp.ones(rank),
             ),
             mu_star=jnp.zeros(n_dims),
-            draws_buffer=jnp.zeros((M, buf, n_dims)),
-            grads_buffer=jnp.zeros((M, buf, n_dims)),
+            draws_buffer=jnp.zeros((n_chains, rows, n_dims)),
+            grads_buffer=jnp.zeros((n_chains, rows, n_dims)),
             buffer_idx=jnp.zeros((), jnp.int32),
             background_split=jnp.zeros((), jnp.int32),
             recompute_counter=jnp.zeros((), jnp.int32),
@@ -328,7 +362,7 @@ def build_multi_chain_meta_core(
             r2_mode=jnp.array(_R2_DEFERRED, jnp.int32),
             budget_used=jnp.zeros((), jnp.int32),
             converged_at_step=jnp.array(-1, jnp.int32),
-            prev_lam=jnp.ones(actual_rank, jnp.float32),
+            prev_lam=jnp.ones(rank, jnp.float32),
             airm_vel_prev=jnp.array(float("inf"), jnp.float32),
             airm_vel_curr=jnp.array(float("inf"), jnp.float32),
             is_slow_mixing=jnp.zeros((), jnp.bool_),
@@ -343,255 +377,222 @@ def build_multi_chain_meta_core(
         )
 
     def update(state, positions, grads=None) -> MultiChainMetaAdaptationCoreState:
-        B = state.draws_buffer.shape[1]
-        idx = state.buffer_idx % B
-        col0 = jnp.zeros((), idx.dtype)
+        slot = state.buffer_idx % state.draws_buffer.shape[1]
 
-        def write_chain(draws_m, grads_m, pos_m, grad_m):
-            pos_flat, _ = fu.ravel_pytree(pos_m)
-            grad_flat, _ = fu.ravel_pytree(grad_m)
+        def per_chain(draws_m, grads_m, pos_m, grad_m):
             return (
-                jax.lax.dynamic_update_slice(draws_m, pos_flat[None, :], (idx, col0)),
-                jax.lax.dynamic_update_slice(grads_m, grad_flat[None, :], (idx, col0)),
+                _ring_write(draws_m, fu.ravel_pytree(pos_m)[0], slot),
+                _ring_write(grads_m, fu.ravel_pytree(grad_m)[0], slot),
             )
 
-        new_draws, new_grads = jax.vmap(write_chain)(
+        draws, grads_new = jax.vmap(per_chain)(
             state.draws_buffer, state.grads_buffer, positions, grads
         )
         return state._replace(
-            draws_buffer=new_draws,
-            grads_buffer=new_grads,
+            draws_buffer=draws,
+            grads_buffer=grads_new,
             buffer_idx=state.buffer_idx + 1,
-            budget_used=state.budget_used + M,
+            budget_used=state.budget_used + n_chains,
         )
 
     def final(state) -> MultiChainMetaAdaptationCoreState:
-        M_stat, B, d = state.draws_buffer.shape
-        n = jnp.minimum(state.buffer_idx, jnp.int32(B))
-        actual_rank = state.inverse_mass_matrix.U.shape[1]
+        M, rows, d = state.draws_buffer.shape
+        n = jnp.minimum(state.buffer_idx, jnp.int32(rows))
+        rank = state.inverse_mass_matrix.U.shape[1]
 
         chain_means, W_diag = _compute_within_chain_stats(state.draws_buffer, n)
         grand_mean = chain_means.mean(0)
-        sigma_w_diag = jnp.sqrt(jnp.maximum(W_diag, jnp.float32(1e-20)))
+        sigma_w = jnp.sqrt(jnp.maximum(W_diag, jnp.float32(1e-20)))
 
-        # --- T-branch: between-chain spike detection ---------------------
-        dof = M_stat - 1
+        # ---- T-branch raw signals: between-chain spike ------------------
+        dof = M - 1
         edge_full = _mc_detection_edge(d, dof)
-        edge_loo = _mc_detection_edge(d, max(dof - 1, 1))
-        T_eigenvalues, V_top, f1 = _between_chain_detection(
-            chain_means, W_diag, n, M_stat, d
+        T_eigs, V_top, collinearity = _between_chain_detection(
+            chain_means, W_diag, n, M, d
         )
-        k_raw = (T_eigenvalues > jnp.float32(edge_full)).sum().astype(jnp.int32)
+        k_detected = (T_eigs > jnp.float32(edge_full)).sum().astype(jnp.int32)
         k_new = jnp.minimum(
-            jnp.minimum(k_raw, jnp.int32(max(dof - 1, 1))), jnp.int32(actual_rank)
+            jnp.minimum(k_detected, jnp.int32(max(dof - 1, 1))), jnp.int32(rank)
         )
-        t_magnitude = T_eigenvalues[0] > jnp.float32(edge_full)
-        t_collinearity = f1 >= jnp.float32(_MC_COLLINEARITY_TOL)
-        t_loo = _loo_detection_passes(chain_means, W_diag, n, M_stat, d, edge_loo)
-        t_support = k_new >= 1
+        spike_dir_raw = sigma_w * V_top[:, 0]
+        spike_dir = spike_dir_raw / jnp.maximum(
+            jnp.linalg.norm(spike_dir_raw), jnp.float32(1e-10)
+        )
+        is_unimodal, _ = _unimodality_gap_stat(chain_means, spike_dir, M)
+        t_spike = T_eigs[0] > jnp.float32(edge_full)
+        t_collinear = collinearity >= jnp.float32(_MC_COLLINEARITY_TOL)
+        t_loo = _loo_detection_passes(
+            chain_means, W_diag, n, M, d, _mc_detection_edge(d, max(dof - 1, 1))
+        )
+        t_supported = k_new >= 1
+        # the deferred latch below deliberately skips the collinearity gate
+        t_core = t_spike & t_loo & t_supported
+        t_signal = t_core & t_collinear
 
-        e_unnorm = sigma_w_diag * V_top[:, 0]
-        e_dir = e_unnorm / jnp.maximum(jnp.linalg.norm(e_unnorm), jnp.float32(1e-10))
-        is_unimodal, _ = _unimodality_gap_stat(chain_means, e_dir, M_stat)
-        t_pre_uni = t_magnitude & t_collinearity & t_loo & t_support
+        # ---- pooled per-chain-centered buffers --------------------------
+        pc_draws, pc_grads, _ = _build_pc_centered_time_major_pool(
+            state.draws_buffer, state.grads_buffer, chain_means, n, M
+        )
+        n_pool = n * jnp.int32(M)
+        pool_mask = jnp.repeat(
+            (jnp.arange(rows) < n).astype(state.draws_buffer.dtype), M
+        )
+        pc_draws = jnp.where(jnp.isfinite(pc_draws), pc_draws, 0.0)
+        pc_grads = jnp.where(jnp.isfinite(pc_grads), pc_grads, 0.0)
 
-        # --- pooled per-chain-centered buffers ---------------------------
-        pc_draws_tm, pc_grads_tm, _ = _build_pc_centered_time_major_pool(
-            state.draws_buffer, state.grads_buffer, chain_means, n, M_stat
-        )
-        n_pool = n * jnp.int32(M_stat)
-        step_mask_all = jnp.repeat(
-            (jnp.arange(B) < n).astype(state.draws_buffer.dtype), M_stat
-        )
-        pc_draws_safe = jnp.where(
-            jnp.isfinite(pc_draws_tm), pc_draws_tm, jnp.zeros_like(pc_draws_tm)
-        )
-        pc_grads_safe = jnp.where(
-            jnp.isfinite(pc_grads_tm), pc_grads_tm, jnp.zeros_like(pc_grads_tm)
+        sigma_lr, mu_lr, U_lr, lam_lr = _compute_low_rank_metric(
+            pc_draws, pc_grads, n_pool, rank, gamma, cutoff
         )
 
-        sigma_lr, mu_star_new, U_lr, lam_lr = _compute_low_rank_metric(
-            pc_draws_safe, pc_grads_safe, n_pool, actual_rank, gamma, cutoff
+        # ---- R^2 curvature gate + projected-tier GAIN router ------------
+        _, U_k_pool = _compute_whitened_spectrum(pc_draws, sigma_w, n_pool, rank)
+        r2, r2_mode = _compute_r2_score_linearity(
+            pc_draws, pc_grads, sigma_w, n_pool, U_k_pool, rank
         )
-
-        # --- R^2 curvature gate + projected-tier GAIN router --------------
-        _, U_k_pooled = _compute_whitened_spectrum(
-            pc_draws_safe, sigma_w_diag, n_pool, actual_rank
-        )
-        r2_new, mode_new = _compute_r2_score_linearity(
-            pc_draws_safe, pc_grads_safe, sigma_w_diag, n_pool, U_k_pooled, actual_rank
-        )
-        r2_new = _clip_r2(r2_new)
-        # the W-branch asks "is the metric fixable?" — the raw per-chain-
+        r2 = _sanitize_r2(r2)
+        # W-branch asks "is the metric fixable?" — the raw per-chain-
         # centered fit answers that; the GAIN override is T-branch routing
-        r2_gate_w = r2_new >= _R_MIN
+        curvature_ok_w = r2 >= _R_MIN
 
-        def gain_override():
-            gain, r2_pc = _compute_projected_gain_r2_mc(
-                pc_draws_safe, pc_grads_safe, sigma_w_diag, n, M_stat, U_k_pooled
+        def routed_r2():
+            gain, r2_projected = _compute_projected_gain_r2_mc(
+                pc_draws, pc_grads, sigma_w, n, M, U_k_pool
             )
-            signal = (
-                jnp.isfinite(gain) & (gain > _GAIN_THRESHOLD) & (r2_pc >= _R_MIN)
+            fires = jnp.isfinite(gain) & (gain > _GAIN_THRESHOLD) & (
+                r2_projected >= _R_MIN
             )
-            return jnp.where(signal, r2_pc, jnp.array(float("nan"), r2_new.dtype))
+            return jnp.where(fires, r2_projected, jnp.array(float("nan"), r2.dtype))
 
         r2_routing = jax.lax.cond(
-            mode_new == jnp.int32(_R2_PROJECTED), gain_override, lambda: r2_new
+            r2_mode == jnp.int32(_R2_PROJECTED), routed_r2, lambda: r2
         )
-        r2_gate = r2_routing >= _R_MIN
+        curvature_ok = r2_routing >= _R_MIN
 
-        # --- W-branch: pooled within-chain whiteness ---------------------
-        lam1_w, top_eigvec_w = _compute_pooled_within_spectrum(
-            state.draws_buffer, chain_means, W_diag, n, M_stat, actual_rank
+        # ---- W-branch: pooled within-chain whiteness --------------------
+        lam1_w, w_top_dir = _compute_pooled_within_spectrum(
+            state.draws_buffer, chain_means, W_diag, n, M, rank
         )
-        w_magnitude = lam1_w > _w_branch_null_edge(M_stat, n, d)
         psi_w = _compute_chain_consistency_psi(
-            state.draws_buffer, chain_means, W_diag, n, M_stat
+            state.draws_buffer, chain_means, W_diag, n, M
         )
-        w_psi_gate = psi_w > _w_branch_psi_threshold(M_stat, n, d)
         r1_w = _compute_lag1_autocorr_top_dir(
-            state.draws_buffer, chain_means, W_diag, top_eigvec_w, n, M_stat
+            state.draws_buffer, chain_means, W_diag, w_top_dir, n, M
         )
-        w_r1_gate = r1_w > jnp.float32(_W_BRANCH_R1_TOL)
-
-        budget_remaining = jnp.int32(max_budget_steps_per_chain) - (
-            state.budget_used.astype(jnp.int32) // jnp.int32(n_chains)
-        )
-        deadline_ok = budget_remaining >= 2 * k_new + jnp.int32(
-            _STEP_SIZE_READAPT_BUFFER
+        w_signal = (
+            (lam1_w > _w_branch_null_edge(M, n, d))
+            & (psi_w > _w_branch_psi_threshold(M, n, d))
+            & (r1_w > jnp.float32(_W_BRANCH_R1_TOL))
         )
 
-        escalate_W = (
-            ~state.has_escalated
-            & w_magnitude
-            & w_psi_gate
-            & w_r1_gate
-            & r2_gate_w
-            & deadline_ok
+        deadline_ok = _deadline_gate(
+            steps_per_chain, state.budget_used // jnp.int32(n_chains), k_new
         )
 
-        # --- T-branch three-way unimodality rule --------------------------
-        any_mode_flag = _compute_mode_consistency_flag(
-            pc_draws_safe,
-            pc_grads_safe,
+        fires_W = ~state.has_escalated & w_signal & curvature_ok_w & deadline_ok
+
+        # ---- T-branch three-way unimodality rule ------------------------
+        mode_flag = _compute_mode_consistency_flag(
+            pc_draws,
+            pc_grads,
             state.grads_buffer,
             chain_means,
             grand_mean,
             V_top,
-            sigma_w_diag,
-            T_eigenvalues,
+            sigma_w,
+            T_eigs,
             jnp.float32(edge_full),
             n,
-            M_stat,
+            M,
         )
-        t_contr = _compute_contraction_stat(
-            state.draws_buffer, chain_means, grand_mean, n, M_stat
+        contraction = _compute_contraction_stat(
+            state.draws_buffer, chain_means, grand_mean, n, M
         )
-        is_converging = t_contr < jnp.float32(-2.365)  # one-sided, alpha=2.5%
-        t_unimodality = is_converging | (is_unimodal & ~any_mode_flag)
+        still_converging = contraction < jnp.float32(-2.365)  # one-sided, alpha=2.5%
+        t_unimodality = still_converging | (is_unimodal & ~mode_flag)
 
-        escalate_T = (
-            ~state.has_escalated & r2_gate & t_pre_uni & t_unimodality & deadline_ok
+        fires_T = (
+            ~state.has_escalated & curvature_ok & t_signal & t_unimodality & deadline_ok
         )
-        escalate_now = escalate_W | escalate_T
-        new_has_escalated = state.has_escalated | escalate_now
+        fires = fires_W | fires_T
+        escalated = state.has_escalated | fires
 
-        # --- deferred_to_ensemble (non-monotone, 2-window confirmed) ------
-        multimodality_signal = any_mode_flag | ~is_unimodal
-        new_flag_count = jnp.where(
-            multimodality_signal, state.unimodality_flag_count + 1, jnp.int32(0)
+        # ---- deferred_to_ensemble (non-monotone, 2-window confirmed) ----
+        split_signal = mode_flag | ~is_unimodal
+        flag_count = jnp.where(
+            split_signal, state.unimodality_flag_count + 1, jnp.int32(0)
         )
-        confirmed_split = new_flag_count >= jnp.int32(
-            _MC_UNIMODALITY_CONFIRM_WINDOWS
+        deferred = (
+            t_core
+            & split_signal
+            & (flag_count >= jnp.int32(_MC_UNIMODALITY_CONFIRM_WINDOWS))
+            & curvature_ok
+            & ~fires_T
         )
-        new_deferred = (
-            t_magnitude
-            & t_loo
-            & t_support
-            & multimodality_signal
-            & confirmed_split
-            & r2_gate
-            & ~escalate_T
-        )
-        new_rank = jnp.where(escalate_now, k_new, state.escalation_rank)
 
-        branch_when_fires = jnp.where(
-            escalate_W & escalate_T,
+        fired_branch = jnp.where(
+            fires_W & fires_T,
             jnp.int32(_DETECTION_BRANCH_BOTH),
             jnp.where(
-                escalate_W,
+                fires_W,
                 jnp.int32(_DETECTION_BRANCH_POOLED_WITHIN),
                 jnp.int32(_DETECTION_BRANCH_BETWEEN_MEANS),
             ),
         )
-        new_branch = jnp.where(escalate_now, branch_when_fires, state.detection_branch)
+        branch = jnp.where(fires, fired_branch, state.detection_branch)
 
-        # --- metric selection ---------------------------------------------
-        # T escalations deploy a rank-1 slow-direction correction whose scale
-        # is the f_disp-cancelling geometric mean; W deploys the full LR
-        sigma_sq_deploy = _geometric_mean_deploy_scale(
-            chain_means, pc_grads_safe, step_mask_all, grand_mean, e_dir, n_pool, M_stat
+        # ---- metric deployment ------------------------------------------
+        # T escalations deploy a rank-1 slow-direction correction whose
+        # scale is the f_disp-cancelling geometric mean; W deploys full LR
+        deploy_scale = _geometric_mean_deploy_scale(
+            chain_means, pc_grads, pool_mask, grand_mean, spike_dir, n_pool, M
         )
-        sigma_lr_e_sq = jnp.maximum(
-            ((sigma_lr**2) * (e_dir**2)).sum(), jnp.float32(1e-20)
+        spike_energy = jnp.maximum(
+            (jnp.square(sigma_lr) * jnp.square(spike_dir)).sum(), jnp.float32(1e-20)
         )
-        lam_slow = (sigma_sq_deploy / sigma_lr_e_sq).astype(sigma_lr.dtype)
-        t_lr_imm = LowRankInverseMassMatrix(
+        lam_spike = (deploy_scale / spike_energy).astype(sigma_lr.dtype)
+        t_imm = LowRankInverseMassMatrix(
             sigma=sigma_lr,
-            U=jnp.concatenate([e_dir[:, None].astype(U_lr.dtype), U_lr[:, 1:]], axis=1),
-            lam=jnp.concatenate(
-                [lam_slow[None], jnp.ones(actual_rank - 1, sigma_lr.dtype)]
+            U=jnp.concatenate(
+                [spike_dir[:, None].astype(U_lr.dtype), U_lr[:, 1:]], axis=1
             ),
+            lam=jnp.concatenate([lam_spike[None], jnp.ones(rank - 1, sigma_lr.dtype)]),
         )
-        w_lr_imm = LowRankInverseMassMatrix(sigma=sigma_lr, U=U_lr, lam=lam_lr)
-        diag_imm = LowRankInverseMassMatrix(
-            sigma=sigma_w_diag,
-            U=jnp.zeros((d, actual_rank), sigma_w_diag.dtype),
-            lam=jnp.ones(actual_rank, sigma_w_diag.dtype),
+        w_imm = LowRankInverseMassMatrix(sigma=sigma_lr, U=U_lr, lam=lam_lr)
+        via_w = (branch == jnp.int32(_DETECTION_BRANCH_POOLED_WITHIN)) | (
+            branch == jnp.int32(_DETECTION_BRANCH_BOTH)
         )
-        prev_was_w = (new_branch == jnp.int32(_DETECTION_BRANCH_POOLED_WITHIN)) | (
-            new_branch == jnp.int32(_DETECTION_BRANCH_BOTH)
-        )
-        escalated_imm = jax.lax.cond(prev_was_w, lambda: w_lr_imm, lambda: t_lr_imm)
-        chosen_imm = jax.lax.cond(
-            new_has_escalated, lambda: escalated_imm, lambda: diag_imm
-        )
-        chosen_mu = jnp.where(
-            new_has_escalated, mu_star_new, jnp.zeros_like(mu_star_new)
-        )
+        lr_imm = jax.lax.cond(via_w, lambda: w_imm, lambda: t_imm)
 
-        vel_prev, vel_curr, converged_at = _airm_advance(
-            state, lam_lr, new_has_escalated
-        )
+        vel_prev, vel_curr, converged_at = _airm_advance(state, lam_lr, escalated)
 
         return MultiChainMetaAdaptationCoreState(
-            inverse_mass_matrix=chosen_imm,
-            mu_star=chosen_mu,
+            inverse_mass_matrix=_select_imm(escalated, lr_imm, sigma_w, rank),
+            mu_star=jnp.where(escalated, mu_lr, jnp.zeros_like(mu_lr)),
             draws_buffer=jnp.zeros_like(state.draws_buffer),
             grads_buffer=jnp.zeros_like(state.grads_buffer),
             buffer_idx=jnp.zeros_like(state.buffer_idx),
             background_split=jnp.zeros_like(state.background_split),
             recompute_counter=jnp.zeros_like(state.recompute_counter),
-            has_escalated=new_has_escalated,
-            escalation_rank=new_rank,
+            has_escalated=escalated,
+            escalation_rank=jnp.where(fires, k_new, state.escalation_rank),
             s_gap_prev=state.s_gap_curr,
             s_gap_curr=jnp.array(float("nan"), jnp.float32),
             r2_latest=r2_routing.astype(jnp.float32),
-            r2_mode=mode_new,
+            r2_mode=r2_mode,
             budget_used=state.budget_used,
             converged_at_step=converged_at,
             prev_lam=lam_lr.astype(jnp.float32),
             airm_vel_prev=vel_prev,
             airm_vel_curr=vel_curr,
             is_slow_mixing=jnp.zeros((), jnp.bool_),
-            chain_collinearity=f1,
+            chain_collinearity=collinearity,
             unimodality_passed=is_unimodal,
-            deferred_to_ensemble=new_deferred,
+            deferred_to_ensemble=deferred,
             within_lam1=lam1_w,
             chain_consistency_psi=psi_w,
             r1_top=r1_w,
-            detection_branch=new_branch,
-            unimodality_flag_count=new_flag_count,
+            detection_branch=branch,
+            unimodality_flag_count=flag_count,
         )
 
     return MetricCore(init=init, update=update, final=final)

@@ -31,11 +31,15 @@ class GHMCState(NamedTuple):
 
 
 def init(position: ArrayLikeTree, logdensity_fn: Callable, rng_key: PRNGKey) -> GHMCState:
-    logdensity, logdensity_grad = jax.value_and_grad(logdensity_fn)(position)
     key_momentum, key_slice = jax.random.split(rng_key)
-    momentum = generate_gaussian_noise(key_momentum, position)
-    slice_var = jax.random.uniform(key_slice, minval=-1.0, maxval=1.0)
-    return GHMCState(position, momentum, logdensity, logdensity_grad, slice_var)
+    logdensity, logdensity_grad = jax.value_and_grad(logdensity_fn)(position)
+    return GHMCState(
+        position,
+        generate_gaussian_noise(key_momentum, position),
+        logdensity,
+        logdensity_grad,
+        jax.random.uniform(key_slice, minval=-1.0, maxval=1.0),
+    )
 
 
 def _metric_from_momentum_inverse_scale(
@@ -57,14 +61,19 @@ def _metric_from_momentum_inverse_scale(
 
 def update_momentum(rng_key, state, alpha, momentum_generator):
     """Partial momentum refresh: mix the persistent momentum with a fresh
-    Gaussian draw, ``p <- sqrt(1-alpha) p + sqrt(alpha) eps``."""
-    position, momentum, *_ = state
-    fresh = momentum_generator(rng_key, position)
+    Gaussian draw, ``p <- sqrt(1-alpha) p + sqrt(alpha) eps`` (an O-U
+    half-step that preserves the momentum marginal)."""
+    keep, inject = jnp.sqrt(1.0 - alpha), jnp.sqrt(alpha)
+    fresh = momentum_generator(rng_key, state.position)
     return jax.tree.map(
-        lambda p, eps: jnp.sqrt(1.0 - alpha) * p + jnp.sqrt(alpha) * eps,
-        momentum,
-        fresh,
+        lambda p, eps: keep * p + inject * eps, state.momentum, fresh
     )
+
+
+def _advance_slice(slice_var, delta, noise):
+    """Deterministic non-reversible translation of the slice variable on
+    the wrapped interval [-1, 1)."""
+    return jnp.mod(slice_var + delta + noise + 1.0, 2.0) - 1.0
 
 
 def build_kernel(noise_fn: Callable = lambda _: 0.0, divergence_threshold: float = 1000):
@@ -93,12 +102,11 @@ def build_kernel(noise_fn: Callable = lambda _: 0.0, divergence_threshold: float
         )
 
         key_momentum, key_noise = jax.random.split(rng_key)
-        position, momentum, logdensity, logdensity_grad, slice_var = state
         momentum = update_momentum(key_momentum, state, alpha, metric.sample_momentum)
-        slice_var = ((slice_var + 1.0 + delta + noise_fn(key_noise)) % 2) - 1.0
+        slice_var = _advance_slice(state.slice, delta, noise_fn(key_noise))
 
         integrator_state = integrators.IntegratorState(
-            position, momentum, logdensity, logdensity_grad
+            state.position, momentum, state.logdensity, state.logdensity_grad
         )
         # the slice variable rides in the sampler's key slot (the
         # non-reversible accept consumes it instead of randomness)

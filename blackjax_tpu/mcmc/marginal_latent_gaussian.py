@@ -68,13 +68,28 @@ def generate_mean_shifted_logprob(logdensity_fn, mean, covariance):
     return shifted
 
 
+def _spectral_view(logdensity_fn, U_t, position):
+    """Evaluate density + gradient and project both into the eigenbasis."""
+    logdensity, grad = jax.value_and_grad(logdensity_fn)(position)
+    pos_flat, _ = ravel_pytree(position)
+    grad_flat, _ = ravel_pytree(grad)
+    return MarginalState(position, logdensity, grad, U_t @ pos_flat, U_t @ grad_flat)
+
+
 def init(position, logdensity_fn, U_t):
-    logdensity, logdensity_grad = jax.value_and_grad(logdensity_fn)(position)
-    position_flat, _ = ravel_pytree(position)
-    grad_flat, _ = ravel_pytree(logdensity_grad)
-    return MarginalState(
-        position, logdensity, logdensity_grad, U_t @ position_flat, U_t @ grad_flat
-    )
+    return _spectral_view(logdensity_fn, U_t, position)
+
+
+def _proposal_gains(Gamma, delta):
+    """Per-eigenvalue coefficients of the mGrad proposal in the half-step
+    parameterization ``a = delta/2``: ``gain = a*g/(a+g)`` (the harmonic
+    combination of step and prior scale, Gamma_1 of the paper) and
+    ``mix = (a+g)/(a+2g)`` (Gamma_3); the proposal noise variance is
+    ``gain/mix``."""
+    a = 0.5 * delta
+    gain = a * Gamma / (a + Gamma)
+    mix = (a + Gamma) / (a + 2.0 * Gamma)
+    return a, gain, mix
 
 
 def build_kernel(cov_svd: CovarianceSVD):
@@ -82,31 +97,27 @@ def build_kernel(cov_svd: CovarianceSVD):
     U, Gamma, U_t = cov_svd
 
     def kernel(key: PRNGKey, state: MarginalState, logdensity_fn, delta):
-        y_key, accept_key = jax.random.split(key)
-        position, logdensity, logdensity_grad, U_x, U_grad_x = state
-        position_flat, unravel = ravel_pytree(position)
+        proposal_key, accept_key = jax.random.split(key)
+        a, gain, mix = _proposal_gains(Gamma, delta)
+        _, unravel = ravel_pytree(state.position)
 
-        # delta-dependent spectral coefficients of the marginal proposal
-        Gamma_1 = Gamma * delta / (delta + 2.0 * Gamma)
-        Gamma_3 = (delta + 2.0 * Gamma) / (delta + 4.0 * Gamma)
-        Gamma_2 = Gamma_1 / Gamma_3
+        mean_y = gain * (state.U_x / a + state.U_grad_x)
+        white = jax.random.normal(proposal_key, mean_y.shape)
+        y = unravel(U @ (mean_y + jnp.sqrt(gain / mix) * white))
+        proposed = _spectral_view(logdensity_fn, U_t, y)
 
-        drift = Gamma_1 * (U_x / (0.5 * delta) + U_grad_x)
-        noise = jnp.sqrt(Gamma_2) * jax.random.normal(y_key, position_flat.shape)
-        y = unravel(U @ (drift + noise))
+        # Hastings correction: h(x,y) - h(y,x) with
+        # h(u,v) = <u - gain*(v/a + grad_v/2), mix * grad_v>
+        def h(u_spec, v_spec, grad_v_spec):
+            shadow = gain * (v_spec / a + 0.5 * grad_v_spec)
+            return jnp.dot(u_spec - shadow, mix * grad_v_spec)
 
-        log_p_y, grad_y = jax.value_and_grad(logdensity_fn)(y)
-        y_flat, _ = ravel_pytree(y)
-        grad_y_flat, _ = ravel_pytree(grad_y)
-        U_y, U_grad_y = U_t @ y_flat, U_t @ grad_y_flat
-
-        temp_x = Gamma_1 * (U_x / (0.5 * delta) + 0.5 * U_grad_x)
-        temp_y = Gamma_1 * (U_y / (0.5 * delta) + 0.5 * U_grad_y)
-        hxy = jnp.dot(U_x - temp_y, Gamma_3 * U_grad_y)
-        hyx = jnp.dot(U_y - temp_x, Gamma_3 * U_grad_x)
-
-        log_p_accept = log_p_y - logdensity + hxy - hyx
-        proposed = MarginalState(y, log_p_y, grad_y, U_y, U_grad_y)
+        log_p_accept = (
+            proposed.logdensity
+            - state.logdensity
+            + h(state.U_x, proposed.U_x, proposed.U_grad_x)
+            - h(proposed.U_x, state.U_x, state.U_grad_x)
+        )
         accepted, (do_accept, p_accept, _) = static_binomial_sampling(
             accept_key, log_p_accept, state, proposed
         )

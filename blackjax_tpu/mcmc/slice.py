@@ -140,21 +140,21 @@ def _doubling_accept(in_slice: Callable, t, left, right, width):
     """Neal Fig. 6: bisect the original bracket toward ``t``; reject if a
     doubling sequence started from ``t`` would have terminated earlier."""
 
-    def cond(carry):
-        left, right, _, ok = carry
-        return (right - left > 1.1 * width) & ok
+    def keep_bisecting(carry):
+        lo, hi, _, ok = carry
+        return (hi - lo > 1.1 * width) & ok
 
-    def body(carry):
-        left, right, differ, _ = carry
-        mid = 0.5 * (left + right)
-        differ = differ | ((0.0 < mid) & (t >= mid)) | ((0.0 >= mid) & (t < mid))
-        right = jnp.where(t < mid, mid, right)
-        left = jnp.where(t >= mid, mid, left)
-        both_out = (~in_slice(left)) & (~in_slice(right))
-        return left, right, differ, ~(differ & both_out)
+    def bisect(carry):
+        lo, hi, crossed, _ = carry
+        mid = 0.5 * (lo + hi)
+        # t and the origin land in different halves => the sequences diverge
+        crossed = crossed | jnp.logical_xor(t < mid, 0.0 < mid)
+        lo, hi = jnp.where(t < mid, lo, mid), jnp.where(t < mid, mid, hi)
+        dead_bracket = ~in_slice(lo) & ~in_slice(hi)
+        return lo, hi, crossed, ~(crossed & dead_bracket)
 
     *_, ok = jax.lax.while_loop(
-        cond, body, (left, right, jnp.asarray(False), jnp.asarray(True))
+        keep_bisecting, bisect, (left, right, jnp.asarray(False), jnp.asarray(True))
     )
     return ok
 
@@ -166,23 +166,28 @@ def _shrink(
     chain stays put. The accepted candidate state (with anything the
     proposal recorded on it) is threaded out directly."""
 
-    def cond(carry):
-        *_, n, _, found = carry
-        return ~found & (n < max_shrinkage)
+    def unresolved(carry):
+        *_, tries, _, found = carry
+        return ~found & (tries < max_shrinkage)
 
-    def body(carry):
-        _, left, right, key, n, state, _ = carry
-        key, subkey = random.split(key)
-        t = left + random.uniform(subkey) * (right - left)
+    def try_point(carry):
+        _, lo, hi, key, tries, state, _ = carry
+        key, draw_key = random.split(key)
+        t = lo + random.uniform(draw_key) * (hi - lo)
         candidate, is_valid = slice_fn(t)
         found = (candidate.logdensity >= level) & is_valid & accept_fn(t)
-        left = jnp.where(t < 0.0, t, left)
-        right = jnp.where(t >= 0.0, t, right)
-        state = jax.tree.map(lambda new, old: jnp.where(found, new, old), candidate, state)
-        return t, left, right, key, n + 1, state, found
+        # failed draws pull their side of the bracket in toward t = 0
+        lo, hi = jnp.where(t < 0.0, t, lo), jnp.where(t < 0.0, hi, t)
+        state = jax.tree.map(
+            lambda new, old: jnp.where(found, new, old), candidate, state
+        )
+        return t, lo, hi, key, tries + 1, state, found
 
-    init_carry = (0.0, left, right, rng_key, jnp.asarray(0), current_state, jnp.asarray(False))
-    *_, n, state, found = jax.lax.while_loop(cond, body, init_carry)
+    *_, n, state, found = jax.lax.while_loop(
+        unresolved,
+        try_point,
+        (0.0, left, right, rng_key, jnp.asarray(0), current_state, jnp.asarray(False)),
+    )
     return state, n, found
 
 

@@ -104,8 +104,10 @@ def _positions(rng_key, scheme: str, n_local: int, n_total: int, shard: Array, d
         return (g + u) / n_total
     if scheme == "multinomial":
         # sorted U(0,1) via normalized exponential spacings — O(N), no sort
-        # (same construction as smc/resampling.py:_sorted_uniforms)
-        spacings = -jnp.log(jax.random.uniform(rng_key, (n_total + 1,)))
+        # (MUST match smc/resampling.py:_sorted_uniforms bit-for-bit; both
+        # use jax.random.exponential, whose tail avoids the u=0 -> inf
+        # spacing of -log(uniform))
+        spacings = jax.random.exponential(rng_key, (n_total + 1,))
         total = jnp.cumsum(spacings)
         return lax.dynamic_slice(total[:-1] / total[-1], (start,), (n_local,))
     raise ValueError(f"unknown resampling scheme: {scheme}")
@@ -351,6 +353,13 @@ def build_tempered_kernel(
             n_total = n_local * lax.axis_size(axis_name)
             if n_total % waste_free_p:
                 raise ValueError("p must divide the global particle count.")
+            if (n_total // waste_free_p) % lax.axis_size(axis_name):
+                raise ValueError(
+                    "the resampled seed count N/p must be divisible by the "
+                    f"mesh axis size (N/p = {n_total // waste_free_p}, "
+                    f"axis = {lax.axis_size(axis_name)}); a floored local "
+                    "count would bias the inverse-CDF slot grid."
+                )
             step_resample_fn = make_resampler(
                 resampling_scheme, axis_name, num_resampled=n_total // waste_free_p
             )

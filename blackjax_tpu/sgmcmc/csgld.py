@@ -3,6 +3,13 @@ bins for multimodal targets (Deng et al. 2020/2022).
 
 Behavioral parity target: ``blackjax/sgmcmc/csgld.py`` (state :29, kernel
 :56).
+
+The energy axis ``[min_energy, min_energy + m * gap]`` is split into ``m``
+bins.  Each step (1) rescales the Langevin drift by one plus the local
+log-slope of the estimated bin-occupation histogram — flattening the energy
+landscape so the chain crosses barriers — and (2) nudges the histogram
+toward the one-hot indicator of the bin the chain landed in (stochastic
+approximation with gain proportional to the current bin mass).
 """
 from typing import Callable, NamedTuple
 
@@ -25,17 +32,40 @@ class ContourSGLDState(NamedTuple):
     energy_idx: int
 
 
+def _locate_bin(energy, min_energy, energy_gap, num_partitions):
+    """Bin index of an energy value; the two edge bins absorb the tails."""
+    raw = jnp.floor((energy - min_energy) / energy_gap) + 1
+    return jnp.clip(raw.astype(jnp.int32), min=1, max=num_partitions - 1)
+
+
+def _flattening_scale(energy_pdf, idx, zeta, temperature, energy_gap):
+    """Drift multiplier from the local log-slope of the bin histogram.
+
+    ``1 + zeta * T * d(log pdf)/du`` evaluated as the backward finite
+    difference across one bin; ``zeta = 0`` recovers plain SGLD."""
+    log_slope = (jnp.log(energy_pdf[idx]) - jnp.log(energy_pdf[idx - 1])) / energy_gap
+    return 1.0 + zeta * temperature * log_slope
+
+
+def _histogram_push(energy_pdf, idx):
+    """Stochastic-approximation move of the histogram toward the one-hot
+    indicator of bin ``idx``, with gain weighted by that bin's mass (the
+    flat-histogram update of Deng et al.).  Returns the unscaled drift;
+    the caller multiplies by the stochastic step size."""
+    indicator = jax.nn.one_hot(idx, energy_pdf.shape[0], dtype=energy_pdf.dtype)
+    return energy_pdf[idx] * (indicator - energy_pdf)
+
+
 def init(position: ArrayLikeTree, num_partitions: int = 512) -> ContourSGLDState:
-    ramp = jnp.arange(num_partitions, 0, -1)
+    # linearly decaying prior over bins; start attributed to the top bin
+    ramp = jnp.arange(num_partitions, 0.0, -1.0)
     return ContourSGLDState(position, ramp / ramp.sum(), num_partitions - 1)
 
 
 def build_kernel(num_partitions=512, energy_gap=10, min_energy=0) -> Callable:
-    """The energy axis ``[min_energy, min_energy + m * gap]`` is divided into
-    ``m`` bins; the drift is rescaled by the estimated local log-density of
-    the energy histogram (flattening the landscape), and the histogram is
-    updated by stochastic approximation."""
-    integrator = overdamped_langevin()
+    """Build the contour-SGLD transition over ``num_partitions`` energy bins
+    of width ``energy_gap`` starting at ``min_energy``."""
+    langevin = overdamped_langevin()
 
     def kernel(
         rng_key: PRNGKey,
@@ -48,32 +78,21 @@ def build_kernel(num_partitions=512, energy_gap=10, min_energy=0) -> Callable:
         zeta: float = 1,
         temperature: float = 1.0,
     ) -> ContourSGLDState:
-        position, energy_pdf, idx = state
-
-        drift_scale = 1.0 + zeta * temperature * (
-            jnp.log(energy_pdf[idx]) - jnp.log(energy_pdf[idx - 1])
-        ) / energy_gap
-
-        grad = gradient_estimator(position, minibatch)
-        position = integrator(
-            rng_key,
-            position,
-            jax.tree.map(lambda g: drift_scale * g, grad),
-            step_size_diff,
-            temperature,
+        scale = _flattening_scale(
+            state.energy_pdf, state.energy_idx, zeta, temperature, energy_gap
+        )
+        flattened_grad = jax.tree.map(
+            lambda g: scale * g, gradient_estimator(state.position, minibatch)
+        )
+        position = langevin(
+            rng_key, state.position, flattened_grad, step_size_diff, temperature
         )
 
-        # locate the new energy bin and nudge the histogram toward it
-        neg_logprob = -logdensity_estimator(position, minibatch)
-        idx = jnp.clip(
-            jnp.floor((neg_logprob - min_energy) / energy_gap + 1).astype(jnp.int32),
-            min=1,
-            max=num_partitions - 1,
+        energy = -logdensity_estimator(position, minibatch)
+        idx = _locate_bin(energy, min_energy, energy_gap, num_partitions)
+        energy_pdf = state.energy_pdf + step_size_stoch * _histogram_push(
+            state.energy_pdf, idx
         )
-        delta = -energy_pdf
-        delta = delta.at[idx].add(1.0)
-        energy_pdf = energy_pdf + step_size_stoch * energy_pdf[idx] * delta
-
         return ContourSGLDState(position, energy_pdf, idx)
 
     return kernel

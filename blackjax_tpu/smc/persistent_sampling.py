@@ -5,6 +5,12 @@ with mixture-importance weights.
 Behavioral parity target: ``blackjax/smc/persistent_sampling.py`` (state
 :43, weights over history :258 [eqs. 14-15], logZ :228 [eq. 16], resampling
 :361, step :445, kernel :556).
+
+The mixture denominator here is computed with a streaming logsumexp
+(running max + rescaled sum carried through a ``lax.scan`` over history
+slots) rather than repeated ``logaddexp`` folds, and resampling maps flat
+ancestor draws back to ``(slot, particle)`` coordinates with ``divmod``
+instead of reshaping every leaf of the history.
 """
 from functools import partial
 from typing import Callable, NamedTuple, Union
@@ -56,20 +62,19 @@ class PersistentSMCState(NamedTuple):
         return self.persistent_log_Z[self.iteration]
 
     @property
-    def persistent_weights(self) -> Array:
-        return jnp.exp(
-            compute_log_persistent_weights(
-                self.persistent_log_likelihoods,
-                self.persistent_log_Z,
-                self.tempering_schedule,
-                self.iteration,
-                include_current=True,
-            )[0]
-        )
-
-    @property
     def num_particles(self) -> int:
         return self.persistent_log_likelihoods.shape[1]
+
+    @property
+    def persistent_weights(self) -> Array:
+        logw, _ = compute_log_persistent_weights(
+            self.persistent_log_likelihoods,
+            self.persistent_log_Z,
+            self.tempering_schedule,
+            self.iteration,
+            include_current=True,
+        )
+        return jnp.exp(logw)
 
 
 class PersistentStateInfo(NamedTuple):
@@ -84,38 +89,67 @@ def init(
     batch_size: int = 0,
 ) -> PersistentSMCState:
     """Allocate the padded history and write iteration 0 (prior draws)."""
-    num_particles = jax.tree.leaves(particles)[0].shape[0]
+    slots = n_schedule + 1
+    n = jax.tree.leaves(particles)[0].shape[0]
+
+    def alloc(x):
+        return jnp.zeros((slots, *x.shape), x.dtype).at[0].set(x)
+
     logliks = map_fn(loglikelihood_fn, batch_size)(particles)
-    padded_logliks = jnp.zeros((n_schedule + 1, num_particles)).at[0].set(logliks)
-    padded_particles = jax.tree.map(
-        lambda x: jnp.zeros((n_schedule + 1, *x.shape)).at[0].set(x), particles
-    )
     return PersistentSMCState(
-        padded_particles,
-        padded_logliks,
-        jnp.zeros(n_schedule + 1),
-        jnp.zeros(n_schedule + 1),
+        jax.tree.map(alloc, particles),
+        jnp.zeros((slots, n)).at[0].set(logliks),
+        jnp.zeros(slots),
+        jnp.zeros(slots),
         jnp.array(0),
     )
 
 
 def remove_padding(state: PersistentSMCState) -> PersistentSMCState:
     """Host-side: trim the padded arrays to the current iteration."""
-    it = state.iteration
+    upto = state.iteration + 1
     return PersistentSMCState(
-        jax.tree.map(lambda x: x[: it + 1], state.persistent_particles),
-        state.persistent_log_likelihoods[: it + 1],
-        state.persistent_log_Z[: it + 1],
-        state.tempering_schedule[: it + 1],
+        jax.tree.map(lambda x: x[:upto], state.persistent_particles),
+        state.persistent_log_likelihoods[:upto],
+        state.persistent_log_Z[:upto],
+        state.tempering_schedule[:upto],
         state.iteration,
     )
 
 
 def compute_log_Z(log_weights: Array, iteration) -> Array:
-    """Normalizing-constant estimate (eq. 16): ``mean of weights over
-    iteration * N`` slots."""
-    num_particles = log_weights.shape[1]
-    return logsumexp(log_weights) - jnp.log(num_particles) - jnp.log(iteration)
+    """Normalizing-constant estimate (eq. 16): the mean of the unnormalized
+    weights over the ``iteration * N`` live slots."""
+    n = log_weights.shape[1]
+    return logsumexp(log_weights) - jnp.log(n * jnp.asarray(iteration))
+
+
+def _streaming_mixture_logsumexp(log_terms_fn, num_slots, horizon):
+    """logsumexp of ``log_terms_fn(i)`` over ``i < horizon``, computed as a
+    scan carrying (running max, sum rescaled onto it) — one pass, no
+    ``(slots, slots, N)`` broadcast, no logaddexp chain."""
+
+    def fold(carry, i):
+        run_max, run_sum = carry
+        term = jnp.where(i < horizon, log_terms_fn(i), -jnp.inf)
+        new_max = jnp.maximum(run_max, term)
+        # rescale both contributions onto the new max, guarding the
+        # exp(-inf - -inf) case while nothing has been accumulated yet
+        safe_max = jnp.where(jnp.isfinite(new_max), new_max, 0.0)
+        run_sum = run_sum * jnp.exp(
+            jnp.where(jnp.isfinite(run_max), run_max - safe_max, -jnp.inf)
+        ) + jnp.exp(jnp.where(jnp.isfinite(term), term - safe_max, -jnp.inf))
+        return (new_max, run_sum), None
+
+    init_term = log_terms_fn(0)
+    (final_max, final_sum), _ = jax.lax.scan(
+        fold,
+        (jnp.full_like(init_term, -jnp.inf), jnp.zeros_like(init_term)),
+        jnp.arange(num_slots),
+    )
+    return jnp.where(
+        jnp.isfinite(final_max), final_max + jnp.log(final_sum), -jnp.inf
+    )
 
 
 def compute_log_persistent_weights(
@@ -128,37 +162,31 @@ def compute_log_persistent_weights(
 ):
     """Mixture importance weights of every historical particle against the
     current tempered target (eqs. 14-15): numerator ``L^lambda_t``,
-    denominator the mixture of all past tempered distributions. Masked rows
-    (beyond the current iteration) get weight zero. Weights sum to
-    ``iteration * N`` unless ``normalize_to_one``."""
-    current_iteration = iteration + 1 if include_current else iteration
-    mask = jnp.arange(persistent_log_likelihoods.shape[0])[:, None] < current_iteration
+    denominator the equal-weight mixture of all past tempered distributions.
+    Rows beyond the horizon get ``-inf``. Weights sum to ``iteration * N``
+    unless ``normalize_to_one``."""
+    horizon = iteration + 1 if include_current else iteration
+    slots = persistent_log_likelihoods.shape[0]
+    live = jnp.arange(slots)[:, None] < horizon
 
-    log_numerator = jnp.where(
-        mask, persistent_log_likelihoods * tempering_schedule[iteration], jnp.nan
+    def component(i):
+        # log density (up to Z) of mixture member i at every stored particle
+        return (
+            tempering_schedule[i] * persistent_log_likelihoods - persistent_log_Z[i]
+        )
+
+    log_mix = _streaming_mixture_logsumexp(component, slots, horizon) - jnp.log(
+        jnp.asarray(horizon, dtype=persistent_log_likelihoods.dtype)
     )
-    # mixture denominator: loop keeps memory at O(history * N) instead of
-    # materializing the (history, history, N) broadcast
-    log_denominator = jax.lax.fori_loop(
-        0,
-        current_iteration,
-        lambda i, val: jnp.where(
-            mask,
-            jnp.logaddexp(
-                val,
-                tempering_schedule[i] * persistent_log_likelihoods - persistent_log_Z[i],
-            ),
-            jnp.nan,
-        ),
-        jnp.full_like(persistent_log_likelihoods, -jnp.inf),
-    ) + jnp.log(1.0 / current_iteration)
 
-    unnormalized = jnp.nan_to_num(log_numerator - log_denominator, nan=-jnp.inf)
-    log_Z = compute_log_Z(unnormalized, current_iteration)
-    log_weights = unnormalized - log_Z
+    target_logpdf = tempering_schedule[iteration] * persistent_log_likelihoods
+    raw = jnp.where(live, target_logpdf - log_mix, -jnp.inf)
+
+    log_Z = compute_log_Z(raw, horizon)
+    logw = raw - log_Z
     if normalize_to_one:
-        log_weights = log_weights - jnp.log(current_iteration * log_weights.shape[1])
-    return log_weights, log_Z
+        logw = logw - jnp.log(horizon * persistent_log_likelihoods.shape[1])
+    return logw, log_Z
 
 
 def resample_from_persistent(
@@ -167,21 +195,25 @@ def resample_from_persistent(
     persistent_weights: Array,
     resample_fn: Callable,
 ):
-    """Draw N particles from the flattened ``history x N`` ensemble."""
-    idx = resample_fn(
-        rng_key, persistent_weights.flatten(), persistent_weights.shape[1]
-    )
+    """Draw N particles from the ``history x N`` ensemble; flat ancestor
+    draws are mapped back to (slot, particle) coordinates with divmod."""
+    n = persistent_weights.shape[1]
+    ancestors = resample_fn(rng_key, persistent_weights.reshape(-1), n)
+    slot_idx, within_idx = jnp.divmod(ancestors, n)
     particles = jax.tree.map(
-        lambda x: x.reshape(-1, *x.shape[2:])[idx], persistent_particles
+        lambda x: x[slot_idx, within_idx], persistent_particles
     )
-    return particles, idx
+    return particles, ancestors
 
 
 def compute_persistent_ess(log_persistent_weights: Array, normalize_weights: bool = False):
-    """Kish ESS over the persistent ensemble (eq. 17; can exceed 1)."""
+    """Kish ESS of the persistent ensemble (eq. 17; can exceed 1), computed
+    in log space: ``exp(-logsumexp(2 log w))``."""
     if normalize_weights:
-        log_persistent_weights = log_persistent_weights - logsumexp(log_persistent_weights)
-    return 1.0 / jnp.sum(jnp.exp(log_persistent_weights) ** 2)
+        log_persistent_weights = log_persistent_weights - logsumexp(
+            log_persistent_weights
+        )
+    return jnp.exp(-logsumexp(2.0 * log_persistent_weights))
 
 
 def step(
@@ -195,37 +227,39 @@ def step(
     batch_size: int = 0,
 ) -> tuple[PersistentSMCState, PersistentStateInfo]:
     """One persistent-sampling move to tempering parameter ``lmbda``
-    (Karamanis et al. Algorithm 2)."""
-    iteration = state.iteration + 1
-    updating_key, resampling_key = jax.random.split(rng_key)
+    (Karamanis et al. Algorithm 2): weight the whole history against the new
+    target, resample N seeds from it, mutate them with the inner kernel, and
+    append the result as the next history slot."""
+    move_key, seed_key = jax.random.split(rng_key)
+    slot = state.iteration + 1
+    schedule = state.tempering_schedule.at[slot].set(lmbda)
 
-    tempering_schedule = state.tempering_schedule.at[iteration].set(lmbda)
-    log_weights, log_Z = weight_fn(
+    logw, log_Z = weight_fn(
         state.persistent_log_likelihoods,
         state.persistent_log_Z,
-        tempering_schedule,
-        iteration,
+        schedule,
+        slot,
         normalize_to_one=True,
     )
-
-    num_particles = state.num_particles
-    iteration_particles, ancestors = resample_from_persistent(
-        resampling_key, state.persistent_particles, jnp.exp(log_weights), resample_fn
+    seeds, ancestors = resample_from_persistent(
+        seed_key, state.persistent_particles, jnp.exp(logw), resample_fn
     )
-    keys = jax.random.split(updating_key, num_particles)
-    iteration_particles, update_info = update_fn(keys, iteration_particles)
-    iteration_logliks = map_fn(loglikelihood_fn, batch_size)(iteration_particles)
+
+    moved, update_info = update_fn(
+        jax.random.split(move_key, state.num_particles), seeds
+    )
+    moved_logliks = map_fn(loglikelihood_fn, batch_size)(moved)
 
     new_state = PersistentSMCState(
         jax.tree.map(
-            lambda hist, cur: hist.at[iteration].set(cur),
+            lambda hist, cur: hist.at[slot].set(cur),
             state.persistent_particles,
-            iteration_particles,
+            moved,
         ),
-        state.persistent_log_likelihoods.at[iteration].set(iteration_logliks),
-        state.persistent_log_Z.at[iteration].set(log_Z),
-        tempering_schedule,
-        iteration,
+        state.persistent_log_likelihoods.at[slot].set(moved_logliks),
+        state.persistent_log_Z.at[slot].set(log_Z),
+        schedule,
+        slot,
     )
     return new_state, PersistentStateInfo(ancestors, update_info)
 
@@ -242,22 +276,6 @@ def build_kernel(
     """Persistent-sampling kernel with a fixed tempering schedule. The
     prior must be normalized (Z_0 = 1) for the weighting scheme."""
 
-    def update_fn(
-        rng_key, current_particles, num_mcmc_steps, logposterior_fn, mcmc_parameters, n_particles
-    ):
-        unshared, shared_step_fn = unshared_parameters_and_step_fn(
-            mcmc_parameters, mcmc_step_fn
-        )
-        mcmc_kernel, _ = update_strategy(
-            mcmc_init_fn,
-            logposterior_fn,
-            shared_step_fn,
-            num_mcmc_steps=num_mcmc_steps,
-            n_particles=n_particles,
-            **({"batch_size": batch_size} if batch_size else {}),
-        )
-        return mcmc_kernel(rng_key, current_particles, unshared)
-
     def kernel(
         rng_key: PRNGKey,
         state: PersistentSMCState,
@@ -265,22 +283,27 @@ def build_kernel(
         lmbda,
         mcmc_parameters: dict,
     ) -> tuple[PersistentSMCState, PersistentStateInfo]:
-        def logposterior_fn(x):
+        def tempered_logdensity(x):
             return logprior_fn(x) + lmbda * loglikelihood_fn(x)
 
-        bound_update = partial(
-            update_fn,
+        unshared, shared_step_fn = unshared_parameters_and_step_fn(
+            mcmc_parameters, mcmc_step_fn
+        )
+        extra = {"batch_size": batch_size} if batch_size else {}
+        mutate, _ = update_strategy(
+            mcmc_init_fn,
+            tempered_logdensity,
+            shared_step_fn,
             num_mcmc_steps=num_mcmc_steps,
-            logposterior_fn=logposterior_fn,
-            mcmc_parameters=mcmc_parameters,
             n_particles=state.num_particles,
+            **extra,
         )
         return step(
             rng_key,
             state,
             lmbda,
             loglikelihood_fn,
-            bound_update,
+            lambda keys, particles: mutate(keys, particles, unshared),
             resampling_fn,
             batch_size=batch_size,
         )

@@ -40,11 +40,12 @@ class SMCInfoWithParameterDistribution(NamedTuple):
 def esjd(m):
     """Per-chain expected squared jumping distance in the Mahalanobis metric
     of ``m`` (weighted by acceptance probability)."""
-    L = jnp.linalg.cholesky(m)
+    factor = jnp.linalg.cholesky(m)
 
     def measure(previous_position, next_position, acceptance_probability):
-        diff = ravel_pytree(previous_position)[0] - ravel_pytree(next_position)[0]
-        return acceptance_probability * jnp.sum((L @ diff) ** 2)
+        jump = ravel_pytree(previous_position)[0] - ravel_pytree(next_position)[0]
+        projected = factor @ jump
+        return acceptance_probability * jnp.dot(projected, projected)
 
     return jax.vmap(measure)
 
@@ -98,26 +99,23 @@ def build_pretune(
     discarded), mixing measured, parameter population reweighted. Integer
     parameters listed in ``natural_parameters`` are rounded (min 1);
     ``positive_parameters`` take absolute values."""
-    if natural_parameters is None:
-        round_to_integer = lambda x: x
-    else:
+    # per-name domain constraints applied after the random walk; a name in
+    # both lists gets the integer rule (which already implies positivity)
+    constraint_rules = {}
+    for name in positive_parameters or ():
+        constraint_rules[name] = jnp.abs
+    for name in natural_parameters or ():
+        constraint_rules[name] = lambda a: jnp.maximum(
+            jnp.abs(jnp.round(a)).astype(int), 1
+        )
 
-        def round_to_integer(params):
-            for name in natural_parameters:
-                params[name] = jax.tree.map(
-                    lambda a: jnp.maximum(jnp.abs(jnp.round(a)).astype(int), 1),
-                    params[name],
-                )
-            return params
-
-    if positive_parameters is None:
-        make_positive = lambda x: x
-    else:
-
-        def make_positive(params):
-            for name in positive_parameters:
-                params[name] = jax.tree.map(jnp.abs, params[name])
-            return params
+    def constrain(params):
+        return {
+            name: jax.tree.map(constraint_rules[name], value)
+            if name in constraint_rules
+            else value
+            for name, value in params.items()
+        }
 
     def pretune(key, state, logposterior):
         unshared, shared_step_fn = unshared_parameters_and_step_fn(
@@ -144,7 +142,7 @@ def build_pretune(
             sigma_parameters=sigma_parameters,
             acceptance_probability=info.acceptance_rate,
         )
-        return make_positive(round_to_integer(new_distribution)), mixing
+        return constrain(new_distribution), mixing
 
     def pretune_and_update(key, state: StateWithParameterOverride, logposterior):
         new_distribution, _ = pretune(key, state, logposterior)

@@ -44,7 +44,9 @@ def stratified(rng_key: PRNGKey, weights: Array, num_samples: int) -> Array:
 def _sorted_uniforms(rng_key: PRNGKey, n: int) -> Array:
     """n sorted U(0,1) variates via normalized exponential spacings (O(n),
     no sort)."""
-    spacings = -jnp.log(jax.random.uniform(rng_key, (n + 1,)))
+    # exponential draws (not -log(uniform), whose u=0 edge case yields an
+    # infinite spacing and NaN positions)
+    spacings = jax.random.exponential(rng_key, (n + 1,))
     total = jnp.cumsum(spacings)
     return total[:-1] / total[-1]
 

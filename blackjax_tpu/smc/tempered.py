@@ -26,7 +26,25 @@ class TemperedSMCState(NamedTuple):
 
 def init(particles: ArrayLikeTree) -> TemperedSMCState:
     n = jax.tree.leaves(particles)[0].shape[0]
-    return TemperedSMCState(particles, jnp.full(n, 1.0 / n), 0.0)
+    return TemperedSMCState(particles, jnp.ones(n) / n, 0.0)
+
+
+def _annealed_target(logprior_fn, loglikelihood_fn, lam):
+    """log p_lam = log prior + lam * loglik — the rejuvenation target."""
+
+    def logdensity(position):
+        return logprior_fn(position) + lam * loglikelihood_fn(position)
+
+    return logdensity
+
+
+def _weight_increment(loglikelihood_fn, delta):
+    """Incremental importance log-weight for a tempering move of ``delta``."""
+
+    def log_weight(position):
+        return delta * loglikelihood_fn(position)
+
+    return log_weight
 
 
 def build_kernel(
@@ -58,30 +76,17 @@ def build_kernel(
         tempering_param: Union[float, Array],
         mcmc_parameters: dict,
     ) -> tuple[TemperedSMCState, smc_base.SMCInfo]:
-        delta = tempering_param - state.tempering_param
-
-        def log_weights_fn(position):
-            return delta * loglikelihood_fn(position)
-
-        def tempered_logposterior_fn(position):
-            return logprior_fn(position) + state.tempering_param * loglikelihood_fn(
-                position
-            )
-
-        smc_state, info = update_particles(
+        lam = state.tempering_param
+        delta = tempering_param - lam
+        moved, info = update_particles(
             rng_key,
             state,
             num_mcmc_steps,
             mcmc_parameters,
-            tempered_logposterior_fn,
-            log_weights_fn,
+            _annealed_target(logprior_fn, loglikelihood_fn, lam),
+            _weight_increment(loglikelihood_fn, delta),
         )
-        return (
-            TemperedSMCState(
-                smc_state.particles, smc_state.weights, state.tempering_param + delta
-            ),
-            info,
-        )
+        return TemperedSMCState(moved.particles, moved.weights, lam + delta), info
 
     return kernel
 

@@ -7,7 +7,6 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import jax.scipy as jsp
 from jax.flatten_util import ravel_pytree
 from optax import GradientTransformation, OptState
 
@@ -41,18 +40,24 @@ def init(
 
 
 def _sample(rng_key, mu, rho, num_samples):
-    sigma_flat, _ = ravel_pytree(jax.tree.map(jnp.exp, rho))
+    """Reparameterized draws: ``mu + exp(rho) * eps`` in the flat basis."""
     mu_flat, unravel = ravel_pytree(mu)
-    eps = jax.random.normal(rng_key, (num_samples,) + mu_flat.shape)
-    return jax.vmap(unravel)(mu_flat + sigma_flat * eps)
+    log_sd_flat, _ = ravel_pytree(rho)
+    white = jax.random.normal(rng_key, (num_samples, mu_flat.shape[0]))
+    return jax.vmap(unravel)(mu_flat + jnp.exp(log_sd_flat) * white)
 
 
 def generate_meanfield_logdensity(mu, rho):
-    sigma = jax.tree.map(jnp.exp, rho)
+    """Closed-form diagonal-Gaussian log-density in the flat basis."""
+    mu_flat, _ = ravel_pytree(mu)
+    log_sd_flat, _ = ravel_pytree(rho)
+    norm_const = -jnp.sum(log_sd_flat) - 0.5 * mu_flat.shape[0] * jnp.log(
+        2.0 * jnp.pi
+    )
 
     def logdensity(position):
-        per_leaf = jax.tree.map(jsp.stats.norm.logpdf, position, mu, sigma)
-        return jax.tree.reduce(jnp.add, jax.tree.map(jnp.sum, per_leaf))
+        standardized = (ravel_pytree(position)[0] - mu_flat) * jnp.exp(-log_sd_flat)
+        return norm_const - 0.5 * jnp.sum(jnp.square(standardized))
 
     return logdensity
 
