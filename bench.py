@@ -45,6 +45,9 @@ MAX_DOUBLINGS = 8
 # slot oversubscription for the continuous runner: m=4 measured best on v5e
 # (16.97M vs 14.37M grads/s at m=1; samples bit-identical either way)
 OVERSUB = int(os.environ.get("BENCH_OVERSUB", "4" if ON_TPU else "1"))
+# while-loop unroll for the continuous runner (leaves per loop iteration;
+# amortizes the loop's fixed per-iteration cost, bit-identical samples)
+UNROLL = int(os.environ.get("BENCH_UNROLL", "4" if ON_TPU else "1"))
 
 
 def hierarchical_logdensity(x):
@@ -161,6 +164,7 @@ def bench_ours_fused(rng_key, step_size, imm):
             max_num_doublings=MAX_DOUBLINGS,
             track_fn=lambda s: s.position[:TRACKED_DIMS],
             oversubscription=OVERSUB if NUM_CHAINS % OVERSUB == 0 else 1,
+            unroll=UNROLL,
         )
     )
     final, hist, grads = run(rng_keys, states)

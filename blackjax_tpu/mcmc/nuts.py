@@ -246,6 +246,7 @@ def build_fused_many_steps(
     track_fn: Callable = None,
     window_size: int = None,
     oversubscription: int = 1,
+    unroll: int = 1,
 ):
     """Continuous many-transition NUTS runner: chains flow through their
     transitions WITHOUT a per-step barrier.
@@ -292,6 +293,11 @@ def build_fused_many_steps(
         ``m`` (the loop is carry-bandwidth-bound, not FLOP-bound). Samples
         stay BIT-IDENTICAL: each chain consumes exactly the same keys and
         machine steps regardless of packing. Requires ``num_chains % m == 0``.
+    unroll
+        Machine-leaf steps per ``while_loop`` iteration (termination checked
+        between blocks). Amortizes the loop's fixed per-iteration cost; at
+        most ``unroll - 1`` overshoot leaves run as masked no-ops at the
+        end. Samples stay BIT-IDENTICAL to ``unroll=1``.
 
     Returns
     -------
@@ -314,6 +320,25 @@ def build_fused_many_steps(
         track_fn = lambda state: jnp.ravel(state.position)
     if oversubscription < 1:
         raise ValueError(f"oversubscription must be >= 1, got {oversubscription}")
+    if unroll < 1:
+        raise ValueError(f"unroll must be >= 1, got {unroll}")
+
+    def _unrolled(body):
+        """Run ``unroll`` machine-leaf bodies per while iteration, checking
+        the termination condition only between blocks.  Amortizes the loop's
+        fixed per-iteration cost and lets the compiler pipeline across
+        bodies.  Bit-identical to ``unroll=1``: once a slot's work is done
+        every consumer in the body is masked off, so the (at most
+        ``unroll - 1``) overshoot iterations are no-ops on all carries."""
+        if unroll == 1:
+            return body
+
+        def block(carry):
+            for _ in range(unroll):
+                carry = body(carry)
+            return carry
+
+        return block
 
     def _bselect(pred, a, b):
         """Per-chain select with the (C,) predicate broadcast over trailing
@@ -499,7 +524,7 @@ def build_fused_many_steps(
         machines, cursor, running, offset, last_state, hist, finals, grads = (
             jax.lax.while_loop(
                 cond,
-                body,
+                _unrolled(body),
                 (machines, cursor0, running0, offset0, last0, hist0, finals0, grads0),
             )
         )
@@ -631,7 +656,7 @@ def build_fused_many_steps(
         machines, steps, running, offset, last_state, hist, grads = (
             jax.lax.while_loop(
                 cond,
-                body,
+                _unrolled(body),
                 (machines, steps0, running0, offset0, last0, hist0, grads0),
             )
         )

@@ -86,6 +86,18 @@ def _promote_carry_vma(ref, tree):
     return jax.tree.map(lambda leaf: _with_vma_of(ref, leaf), tree)
 
 
+def _promote_key_vma(ref, key):
+    """:func:`_with_vma_of` for PRNG keys: roundtrip through the raw key
+    data (value-preserving) so the key picks up ``ref``'s VMA type. Needed
+    on a model-sharded state, where the replicated transition key must match
+    body outputs that became varying through selects."""
+    if jnp.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(key)
+        z = (jnp.asarray(ref).ravel()[0] * 0).astype(data.dtype)
+        return jax.random.wrap_key_data(data + z, impl=jax.random.key_impl(key))
+    return _with_vma_of(ref, key)
+
+
 class Trajectory(NamedTuple):
     leftmost_state: IntegratorState
     rightmost_state: IntegratorState
@@ -156,16 +168,26 @@ def static_integration(integrator: Callable, direction: int = 1) -> Callable:
         max_num_integration_steps=None,
     ):
         directed = jax.tree.map(lambda s: direction * s, step_size)
+        vma_ref = jax.tree.leaves(initial_state.momentum)[0]
+
+        def one_step(state):
+            new = integrator(state, directed)
+            # model-sharded states: the psum-computed logdensity is
+            # VMA-invariant while the carry is varying (free no-op otherwise)
+            return new._replace(
+                logdensity=_with_vma_of(vma_ref, new.logdensity)
+            )
+
         if max_num_integration_steps is None:
             return jax.lax.fori_loop(
                 0,
                 num_integration_steps,
-                lambda _, state: integrator(state, directed),
+                lambda _, state: one_step(state),
                 initial_state,
             )
 
         def masked_step(i, state):
-            new = integrator(state, directed)
+            new = one_step(state)
             return jax.tree.map(
                 lambda a, b: jnp.where(i < num_integration_steps, a, b), new, state
             )
@@ -619,7 +641,15 @@ def _flat_nuts_parts(
     def machine_init(rng_key, initial_state: IntegratorState) -> _FlatNUTSState:
         m0, _ = ravel_pytree(initial_state.momentum)
         d = m0.shape[0]
-        initial_energy = energy_fn(initial_state)
+        # on a dimension-sharded (model-axis) state the caller's logdensity
+        # and key are VMA-invariant (psum outputs / replicated inputs) while
+        # the loop body's selects make them varying — promote them here so
+        # the while carry types match (no-op unsharded and on chains meshes)
+        initial_state = initial_state._replace(
+            logdensity=_with_vma_of(m0, initial_state.logdensity)
+        )
+        rng_key = _promote_key_vma(m0, rng_key)
+        initial_energy = _with_vma_of(m0, energy_fn(initial_state))
         fzero = 0.0 * initial_energy  # varying-typed scalar zero
         initial_proposal = Proposal(
             initial_state, initial_energy, fzero, -jnp.inf + fzero
@@ -683,9 +713,14 @@ def _flat_nuts_parts(
 
         # -------- one leapfrog step ----------------------------------
         new_state = integrator(current, direction * step_size)
+        m_new, _ = ravel_pytree(new_state.momentum)
+        # model-sharded states: psum-computed logdensity is VMA-invariant
+        # while the carry is varying — re-promote (free no-op otherwise)
+        new_state = new_state._replace(
+            logdensity=_with_vma_of(m_new, new_state.logdensity)
+        )
         new_proposal = generate_proposal(s.initial_energy, new_state)
         leaf_diverging = -new_proposal.weight > divergence_threshold
-        m_new, _ = ravel_pytree(new_state.momentum)
 
         # -------- subtree progressive sampling -----------------------
         merged_sub = progressive_uniform_sampling(

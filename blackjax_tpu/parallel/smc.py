@@ -58,6 +58,7 @@ __all__ = [
     "build_tempered_kernel",
     "build_adaptive_tempered_kernel",
     "mass_matrix_from_particles",
+    "make_sharded_pretune",
     "run_adaptive_tempered_smc",
 ]
 
@@ -475,6 +476,127 @@ def mass_matrix_from_particles(particles: Array, axis_name: str) -> Array:
     mean = lax.psum(jnp.sum(particles, axis=0), axis_name) / n
     var = lax.psum(jnp.sum((particles - mean) ** 2, axis=0), axis_name) / n
     return var
+
+
+def make_sharded_pretune(
+    logprior_fn: Callable,
+    loglikelihood_fn: Callable,
+    mcmc_step_fn: Callable,
+    mcmc_init_fn: Callable,
+    sigma_parameters: dict,
+    *,
+    alpha: float = 1.0,
+    esjd_inverse_mass_matrix: Optional[Array] = None,
+    resampling_scheme: str = "stratified",
+    axis_name: str = "particles",
+    natural_parameters: tuple = (),
+    positive_parameters: tuple = (),
+) -> Callable:
+    """First-class population pretuning on the particles mesh.
+
+    Builds an ``mcmc_parameter_update_fn(key, state, info, params)`` for
+    :func:`build_tempered_kernel` / :func:`run_adaptive_tempered_smc` that
+    maintains a *per-particle distribution* of inner-kernel parameters
+    (Fearnhead & Taylor 2010; parity:
+    ``blackjax/smc/pretuning.py:46-180``), entirely on-mesh:
+
+    1. **probe**: one discarded MCMC step per particle with the current
+       per-particle parameters, against the current tempered target;
+    2. **measure**: expected squared jumping distance of the probe,
+       acceptance-weighted, in the Mahalanobis metric of
+       ``esjd_inverse_mass_matrix`` (identity by default);
+    3. **reweight + exchange**: the parameter population is importance-
+       resampled with weights ``alpha + esjd`` — globally, through the SAME
+       static-shape ring exchange the particles use
+       (:func:`make_resampler` over the parameter rows);
+    4. **jitter**: shard-local Gaussian random walk with per-parameter
+       scales ``sigma_parameters``, then the integer/positivity constraints.
+
+    Only the names in ``sigma_parameters`` are treated as populations (their
+    leaves must have leading dim ``n_particles``, sharded); every other
+    entry of ``params`` passes through untouched.
+    """
+    from blackjax_tpu.util import generate_gaussian_noise
+
+    param_resampler = make_resampler(resampling_scheme, axis_name)
+
+    constraint_rules = {}
+    for name in positive_parameters:
+        constraint_rules[name] = jnp.abs
+    for name in natural_parameters:
+        constraint_rules[name] = lambda a: jnp.maximum(
+            jnp.abs(jnp.round(a)).astype(int), 1
+        )
+
+    if esjd_inverse_mass_matrix is None:
+        chol = None
+    else:
+        chol = jnp.linalg.cholesky(jnp.asarray(esjd_inverse_mass_matrix))
+
+    def _jump_measure(before, after, accept_prob):
+        from jax.flatten_util import ravel_pytree
+
+        d = ravel_pytree(before)[0] - ravel_pytree(after)[0]
+        proj = d if chol is None else chol @ d
+        return accept_prob * jnp.dot(proj, proj)
+
+    def pretune(rng_key, state, info, params):
+        del info  # the probe is taken fresh against the CURRENT cloud
+        lam = state.tempering_param
+
+        def target(x):
+            return logprior_fn(x) + lam * loglikelihood_fn(x)
+
+        population = {name: params[name] for name in sigma_parameters}
+        raw_passthrough = {
+            k: v for k, v in params.items() if k not in sigma_parameters
+        }
+        passthrough = {
+            k: (v[0] if jnp.ndim(v) > 0 and jnp.shape(v)[0] == 1 else v)
+            for k, v in raw_passthrough.items()
+        }
+
+        probe_key, walk_key, exchange_key = jax.random.split(rng_key, 3)
+        my_index = lax.axis_index(axis_name)
+        n_local = jax.tree.leaves(state.particles)[0].shape[0]
+        local_probe = jax.random.fold_in(probe_key, my_index)
+
+        def probe_one(key, particle, *param_rows):
+            named = dict(zip(sigma_parameters, param_rows))
+            st = mcmc_init_fn(particle, target)
+            moved, inf = mcmc_step_fn(key, st, target, **passthrough, **named)
+            return _jump_measure(moved.position, particle, inf.acceptance_rate)
+
+        mixing = jax.vmap(probe_one)(
+            jax.random.split(local_probe, n_local),
+            state.particles,
+            *[population[name] for name in sigma_parameters],
+        )
+
+        # population random walk (shard-local keys), then global
+        # importance resample of the walked population by alpha + ESJD
+        local_walk = jax.random.fold_in(walk_key, my_index)
+        walked = {}
+        for i, (name, sigma) in enumerate(sigma_parameters.items()):
+            walked[name] = population[name] + generate_gaussian_noise(
+                jax.random.fold_in(local_walk, i),
+                jnp.asarray(population[name], jnp.result_type(float)),
+                sigma=sigma,
+            )
+        raw_weights = alpha + mixing
+        norm_weights = raw_weights / lax.psum(jnp.sum(raw_weights), axis_name)
+        resampled, _ = param_resampler(exchange_key, norm_weights, walked)
+
+        constrained = {
+            name: jax.tree.map(constraint_rules[name], value)
+            if name in constraint_rules
+            else value
+            for name, value in resampled.items()
+        }
+        # carry shapes must be stable: pass the un-squeezed shared entries
+        return {**raw_passthrough, **constrained}
+
+    return pretune
 
 
 def run_adaptive_tempered_smc(

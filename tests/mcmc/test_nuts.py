@@ -280,6 +280,46 @@ def test_fused_many_steps_oversubscribed_bit_identical(rng_key, m):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("m,unroll", [(1, 4), (3, 2)])
+def test_fused_many_steps_unrolled_bit_identical(rng_key, m, unroll):
+    """while-loop unrolling (multiple machine leaves per iteration, with
+    masked no-op overshoot at the end) must not change samples, finals, or
+    grad counts — on both the plain and oversubscribed runners."""
+    from blackjax_tpu.mcmc.nuts import build_fused_many_steps
+
+    num_chains, num_steps, dim = 6, 12, 4
+    step_size, imm = 0.25, jnp.ones(4)
+    algo = blackjax_tpu.nuts(_logdensity, step_size=step_size, inverse_mass_matrix=imm)
+    init_keys = jax.random.split(rng_key, num_chains)
+    positions = jax.vmap(lambda k: jax.random.normal(k, (dim,)))(init_keys)
+    states = jax.vmap(algo.init)(positions)
+    step_keys = jax.random.split(jax.random.fold_in(rng_key, 1), num_steps)
+    rng_keys = jax.vmap(lambda k: jax.random.split(k, num_chains))(step_keys)
+
+    base = jax.jit(
+        build_fused_many_steps(
+            _logdensity, step_size, imm, num_steps=num_steps, oversubscription=m
+        )
+    )
+    f1, h1, g1 = base(rng_keys, states)
+    unrolled = jax.jit(
+        build_fused_many_steps(
+            _logdensity,
+            step_size,
+            imm,
+            num_steps=num_steps,
+            oversubscription=m,
+            unroll=unroll,
+        )
+    )
+    fu_, hu, gu = unrolled(rng_keys, states)
+
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(hu))
+    assert int(g1) == int(gu)
+    for a, b in zip(jax.tree.leaves(f1), jax.tree.leaves(fu_)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_many_steps_tiny_window_still_exact(rng_key):
     """window_size smaller than the step count forces constant parking —
     results must STILL be bit-identical to the scan path."""

@@ -396,6 +396,50 @@ def test_sharded_pretuning_parameters_follow_particles(rng_key):
     np.testing.assert_allclose(mean, post_var * np.asarray(obs), atol=0.25)
 
 
+def test_make_sharded_pretune_public_api(rng_key):
+    """The first-class pretuning API (probe ESJD -> global population
+    resample through the ring -> shard-local jitter) must temper to 1 with
+    a positive, diverse step-size population and recover the posterior."""
+    d, n_particles = 2, 128
+    obs = jnp.array([1.0, -0.5])
+    logprior = lambda x: -0.5 * jnp.sum(x**2) / 9.0
+    loglik = lambda x: -0.5 * jnp.sum((x - obs) ** 2)
+
+    pretune = psmc.make_sharded_pretune(
+        logprior,
+        loglik,
+        mala.build_kernel(),
+        mala.init,
+        sigma_parameters={"step_size": 0.03},
+        alpha=1.0,
+        positive_parameters=("step_size",),
+    )
+    result = psmc.run_adaptive_tempered_smc(
+        rng_key,
+        3.0 * jax.random.normal(jax.random.key(9), (n_particles, d)),
+        logprior,
+        loglik,
+        mala.build_kernel(),
+        mala.init,
+        {"step_size": jnp.full(n_particles, 0.15)},
+        particles_mesh(),
+        target_ess=0.5,
+        num_mcmc_steps=2,
+        max_steps=40,
+        mcmc_parameter_update_fn=pretune,
+    )
+    assert float(result.tempering_param) == pytest.approx(1.0)
+    steps = np.asarray(result.mcmc_parameters["step_size"])
+    assert steps.shape == (n_particles,)
+    assert np.all((steps > 0) & np.isfinite(steps))
+    assert steps.std() > 0
+    post_var = 1.0 / (1.0 / 9.0 + 1.0)
+    w = np.asarray(result.weights)
+    parts = np.asarray(result.particles)
+    mean = (w[:, None] * parts).sum(0)
+    np.testing.assert_allclose(mean, post_var * np.asarray(obs), atol=0.25)
+
+
 def test_ring_gather_matches_single_device_ancestor_gather(rng_key):
     """ring_gather with the step's ancestors equals params[ancestors] on one
     device — the exact pretuning resample semantics."""
