@@ -221,7 +221,12 @@ def main():
     kernel_ess_per_sec = ess / k_elapsed
     kernel_grads_per_sec = k_grads / k_elapsed
 
-    # --- baseline: vmapped stock BlackJAX, cached per device/config -------
+    # --- baseline: vmapped stock BlackJAX ---------------------------------
+    # Re-measured EVERY run (the persistent compile cache keeps this to
+    # ~2x the reference's sampling time): ratios against a baseline cached
+    # from an earlier, differently-loaded session drift by tens of percent
+    # with tunnel/host contention. The cache is only the fallback when the
+    # in-run reference measurement fails.
     baseline = None
     cache = {}
     if os.path.exists(CACHE_PATH):
@@ -229,20 +234,18 @@ def main():
             cache = json.load(open(CACHE_PATH))
         except Exception:
             cache = {}
-    if cfg_key in cache:
-        baseline = cache[cfg_key]
-    else:
-        try:
-            b_elapsed, b_hist, b_grads = bench_reference(run_key, step_size, imm)
-            baseline = {
-                "ess_per_sec": _ess_per_dim(b_hist) / b_elapsed,
-                "grad_evals_per_sec": b_grads / b_elapsed,
-                "elapsed": b_elapsed,
-            }
-            cache[cfg_key] = baseline
-            json.dump(cache, open(CACHE_PATH, "w"))
-        except Exception as exc:  # pragma: no cover
-            print(f"reference baseline failed: {exc}", file=sys.stderr)
+    try:
+        b_elapsed, b_hist, b_grads = bench_reference(run_key, step_size, imm)
+        baseline = {
+            "ess_per_sec": _ess_per_dim(b_hist) / b_elapsed,
+            "grad_evals_per_sec": b_grads / b_elapsed,
+            "elapsed": b_elapsed,
+        }
+        cache[cfg_key] = baseline
+        json.dump(cache, open(CACHE_PATH, "w"))
+    except Exception as exc:  # pragma: no cover
+        print(f"reference baseline failed: {exc}", file=sys.stderr)
+        baseline = cache.get(cfg_key)
 
     vs_baseline = (
         ours_ess_per_sec / baseline["ess_per_sec"] if baseline else float("nan")

@@ -43,11 +43,11 @@ def _reference():
 
 
 def _timeit(fn: Callable, *args) -> float:
-    """Compile/warm once, then best-of-2 (tunnel dispatch latency is noisy)."""
+    """Compile/warm once, then best-of-3 (tunnel dispatch latency is noisy)."""
     out = fn(*args)
     jax.block_until_ready(jax.tree.leaves(out)[0])
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(jax.tree.leaves(out)[0])
@@ -75,7 +75,9 @@ def config_hmc():
     from blackjax_tpu.models.targets import ill_conditioned_gaussian
 
     target = ill_conditioned_gaussian(100)
-    num_chains, num_steps = 128, 512 if ON_TPU else 64
+    # 2048 steps: the 512-step run was ~35 ms, inside the tunnel's dispatch
+    # noise band (observed 1.87-2.09M transitions/s across repeats)
+    num_chains, num_steps = 128, 2048 if ON_TPU else 64
     params = dict(step_size=0.08, num_integration_steps=10)
     key = jax.random.key(7)
     positions = 0.5 * jax.random.normal(key, (num_chains, 100))
@@ -185,10 +187,16 @@ def config_nuts_8schools():
 
 
 def config_sgld():
+    # Compiled parity with the reference is PROVEN on this config: XLA cost
+    # analysis of the jitted 50-step scan gives identical FLOPs (35,481)
+    # and bytes accessed (992,914) for both libraries, and bitwise-equal
+    # outputs (tools: /tmp-level HLO diff, round 3). Any wall-clock delta
+    # is therefore host-dispatch noise over the device tunnel; the step
+    # count below is sized so the run is ~0.5 s and that noise amortizes.
     from blackjax_tpu.models.targets import logistic_regression
 
     target, X, y = logistic_regression(num_points=4096, dim=54)
-    num_steps, batch = (2000, 512) if ON_TPU else (500, 128)
+    num_steps, batch = (20000, 512) if ON_TPU else (500, 128)
     key = jax.random.key(13)
     data_size = X.shape[0]
 
@@ -368,13 +376,127 @@ def config_cross_chain():
     return {"value": ours, "unit": "leapfrog-grads/sec (full warmup)"}, ref
 
 
+def config_sgld_chains():
+    """Many-chain SGMCMC: 4,096 vmapped SGLD chains on the covertype-class
+    logistic regression, one shared minibatch per step (the chain-blocked
+    TPU regime — per-chain logits become one (C, B) MXU contraction)."""
+    from blackjax_tpu.models.targets import logistic_regression
+
+    target, X, y = logistic_regression(num_points=4096, dim=54)
+    num_chains = 4096 if ON_TPU else 64
+    num_steps, batch = (200, 256) if ON_TPU else (50, 64)
+    key = jax.random.key(23)
+    data_size = X.shape[0]
+
+    def logprior_fn(w):
+        return -0.5 * jnp.sum(w**2)
+
+    def loglikelihood_fn(w, minibatch):
+        xb, yb = minibatch
+        logits = xb @ w
+        return jnp.sum(yb * logits - jnp.logaddexp(0.0, logits))
+
+    batch_idx = jax.vmap(
+        lambda k: jax.random.randint(k, (batch,), 0, data_size)
+    )(jax.random.split(key, num_steps))
+    step_keys = jax.vmap(lambda k: jax.random.split(k, num_chains))(
+        jax.random.split(jax.random.key(24), num_steps)
+    )
+    w0 = 0.1 * jax.random.normal(jax.random.key(25), (num_chains, 54))
+
+    def measure(module):
+        grad_fn = module.grad_estimator(logprior_fn, loglikelihood_fn, data_size)
+        step = module.sgld_step(grad_fn)
+
+        @jax.jit
+        def run(w):
+            def one(w, xs):
+                keys, idx = xs
+                mb = (X[idx], y[idx])
+                w = jax.vmap(lambda k, wi: step(k, wi, mb, 1e-5))(keys, w)
+                return w, ()
+
+            return jax.lax.scan(one, w, (step_keys, batch_idx))[0].sum()
+
+        elapsed = _timeit(run, w0)
+        return num_chains * num_steps / elapsed
+
+    import blackjax_tpu.sgmcmc.gradients as our_gradients
+    from blackjax_tpu import sgld as our_sgld
+
+    class OurModule:
+        grad_estimator = staticmethod(our_gradients.grad_estimator)
+        sgld_step = staticmethod(lambda g: our_sgld(g).step)
+
+    ours = measure(OurModule)
+
+    def ref():
+        blackjax = _reference()
+
+        class RefModule:
+            grad_estimator = staticmethod(blackjax.sgmcmc.gradients.grad_estimator)
+            sgld_step = staticmethod(lambda g: blackjax.sgld(g).step)
+
+        return measure(RefModule)
+
+    return {"value": ours, "unit": "chain-updates/sec"}, ref
+
+
+def config_meads():
+    """BASELINE.md tracked config #5, MEADS side: full cross-chain GHMC
+    warmup wall time at 4,096 chains. Every MEADS step is one GHMC leapfrog
+    per chain on both sides, so chain-steps/sec is the honest metric."""
+    from blackjax_tpu.models.targets import ill_conditioned_gaussian
+
+    target = ill_conditioned_gaussian(100)
+    num_chains, num_steps = (4096, 100) if ON_TPU else (256, 40)
+    key = jax.random.key(29)
+    positions = jax.random.normal(key, (num_chains, 100))
+
+    def measure(meads_factory):
+        adapt = meads_factory()
+
+        @jax.jit
+        def run(key, positions):
+            res, _ = adapt.run(key, positions, num_steps)
+            return jax.tree.leaves(res.state)[0].sum()
+
+        s = run(key, positions)
+        jax.block_until_ready(s)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            s = run(key, positions)
+            jax.block_until_ready(s)
+            best = min(best, time.perf_counter() - t0)
+        return num_chains * num_steps / best
+
+    from blackjax_tpu.adaptation.meads_adaptation import meads_adaptation
+
+    ours = measure(lambda: meads_adaptation(target.logdensity_fn, num_chains))
+
+    def ref():
+        blackjax = _reference()
+        return measure(
+            lambda: blackjax.meads_adaptation(target.logdensity_fn, num_chains)
+        )
+
+    return {"value": ours, "unit": "chain-steps/sec (full warmup)"}, ref
+
+
 CONFIGS = {
     "hmc": config_hmc,
     "nuts_8schools": config_nuts_8schools,
     "sgld": config_sgld,
+    "sgld_chains": config_sgld_chains,
     "smc": config_smc,
     "cross_chain": config_cross_chain,
+    "meads": config_meads,
 }
+
+# bump a config's version when its measurement protocol changes (invalidates
+# the cached reference baseline for just that config)
+CONFIG_VERSIONS = {"sgld": "v4", "hmc": "v4"}
 
 
 def run_tracked(cache: dict, cache_write, device_kind: str, names=None):
@@ -389,18 +511,20 @@ def run_tracked(cache: dict, cache_write, device_kind: str, names=None):
         except Exception as exc:  # pragma: no cover
             print(f"tracked config {name} failed: {exc}", file=sys.stderr)
             continue
-        # v3: best-of-N timing on both sides (same harness for ours and ref)
-        cache_key = f"{device_kind}|tracked_{name}|v3"
-        if cache_key in cache:
-            baseline = cache[cache_key]
-        else:
-            try:
-                baseline = ref_fn()
-                cache[cache_key] = baseline
-                cache_write(cache)
-            except Exception as exc:  # pragma: no cover
-                print(f"tracked baseline {name} failed: {exc}", file=sys.stderr)
-                baseline = None
+        # best-of-N timing on both sides (same harness for ours and ref).
+        # The reference is re-measured IN-RUN every time: ratios against a
+        # baseline cached under different host/tunnel load drift by tens of
+        # percent (observed 0.73x-1.03x on identical compiled programs);
+        # the persistent XLA compile cache keeps the re-measure cheap. The
+        # cached value is only the fallback when the in-run measure fails.
+        cache_key = f"{device_kind}|tracked_{name}|{CONFIG_VERSIONS.get(name, 'v3')}"
+        try:
+            baseline = ref_fn()
+            cache[cache_key] = baseline
+            cache_write(cache)
+        except Exception as exc:  # pragma: no cover
+            print(f"tracked baseline {name} failed: {exc}", file=sys.stderr)
+            baseline = cache.get(cache_key)
         result["value"] = round(float(result["value"]), 4)
         result["vs_baseline"] = (
             round(result["value"] / baseline, 3) if baseline else None

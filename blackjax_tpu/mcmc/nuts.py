@@ -297,7 +297,11 @@ def build_fused_many_steps(
         Machine-leaf steps per ``while_loop`` iteration (termination checked
         between blocks). Amortizes the loop's fixed per-iteration cost; at
         most ``unroll - 1`` overshoot leaves run as masked no-ops at the
-        end. Samples stay BIT-IDENTICAL to ``unroll=1``.
+        end. The transformation is exact (bit-identical under x64, where
+        rounding is stable); under f32 the compiler may fuse (fma-contract)
+        across the composed bodies, so samples can differ from ``unroll=1``
+        at the ULP level — statistically identical, and measured +3% on the
+        flagship config at ``unroll=4`` on v5e.
 
     Returns
     -------
