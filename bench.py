@@ -48,6 +48,9 @@ OVERSUB = int(os.environ.get("BENCH_OVERSUB", "4" if ON_TPU else "1"))
 # while-loop unroll for the continuous runner (leaves per loop iteration;
 # amortizes the loop's fixed per-iteration cost, bit-identical samples)
 UNROLL = int(os.environ.get("BENCH_UNROLL", "4" if ON_TPU else "1"))
+# gate the restart machinery (key gather + momentum draws for all slots) to
+# every r-th unrolled body; chains park <= r-1 leaves, samples unchanged
+RESTART_EVERY = int(os.environ.get("BENCH_RESTART_EVERY", "1"))
 
 
 def hierarchical_logdensity(x):
@@ -165,6 +168,7 @@ def bench_ours_fused(rng_key, step_size, imm):
             track_fn=lambda s: s.position[:TRACKED_DIMS],
             oversubscription=OVERSUB if NUM_CHAINS % OVERSUB == 0 else 1,
             unroll=UNROLL,
+            restart_every=min(RESTART_EVERY, UNROLL),
         )
     )
     final, hist, grads = run(rng_keys, states)

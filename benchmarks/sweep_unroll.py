@@ -50,7 +50,9 @@ def main():
     rng_keys = jax.vmap(lambda k: jax.random.split(k, bench.NUM_CHAINS))(step_keys)
 
     results = {}
-    for m, u in combos:
+    for combo in combos:
+        m, u = combo[0], combo[1]
+        r = combo[2] if len(combo) > 2 else 1
         run = build_fused_many_steps(
             bench.hierarchical_logdensity,
             step_size,
@@ -60,6 +62,7 @@ def main():
             track_fn=lambda s: s.position[: bench.TRACKED_DIMS],
             oversubscription=m,
             unroll=u,
+            restart_every=r,
         )
 
         @jax.jit
@@ -77,13 +80,13 @@ def main():
             jax.block_until_ready((digest, grads))
             best = min(best, time.perf_counter() - t0)
         gps = int(grads) / best
-        results[f"m{m}_u{u}"] = {
+        results[f"m{m}_u{u}_r{r}"] = {
             "elapsed_best": round(best, 4),
             "grads_per_sec": round(gps, 1),
             "digest": float(digest),
             "grads": int(grads),
         }
-        print(f"m={m} unroll={u}: {best:.3f}s  {gps/1e6:.2f}M grads/s", file=sys.stderr)
+        print(f"m={m} unroll={u} restart={r}: {best:.3f}s  {gps/1e6:.2f}M grads/s", file=sys.stderr)
 
     print(json.dumps(results))
 

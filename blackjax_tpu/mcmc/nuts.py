@@ -247,6 +247,7 @@ def build_fused_many_steps(
     window_size: int = None,
     oversubscription: int = 1,
     unroll: int = 1,
+    restart_every: int = 1,
 ):
     """Continuous many-transition NUTS runner: chains flow through their
     transitions WITHOUT a per-step barrier.
@@ -302,6 +303,15 @@ def build_fused_many_steps(
         across the composed bodies, so samples can differ from ``unroll=1``
         at the ULP level — statistically identical, and measured +3% on the
         flagship config at ``unroll=4`` on v5e.
+    restart_every
+        Run the restart machinery (per-slot key derivation + momentum
+        sampling + machine re-init) only in unrolled bodies whose in-block
+        index is a multiple of this — a STATIC gate, no ``lax.cond`` over
+        the carry. Closing chains park at most ``restart_every - 1`` leaves
+        before their next transition; every chain still consumes exactly
+        the same keys and leaves, so samples are unchanged (bit-identical
+        under x64). Must divide into ``unroll`` sensibly
+        (``1 <= restart_every <= unroll``).
 
     Returns
     -------
@@ -326,6 +336,10 @@ def build_fused_many_steps(
         raise ValueError(f"oversubscription must be >= 1, got {oversubscription}")
     if unroll < 1:
         raise ValueError(f"unroll must be >= 1, got {unroll}")
+    if restart_every < 1 or restart_every > unroll:
+        raise ValueError(
+            f"restart_every must be in [1, unroll={unroll}], got {restart_every}"
+        )
 
     def _unrolled(body):
         """Run ``unroll`` machine-leaf bodies per while iteration, checking
@@ -333,13 +347,21 @@ def build_fused_many_steps(
         fixed per-iteration cost and lets the compiler pipeline across
         bodies.  Bit-identical to ``unroll=1``: once a slot's work is done
         every consumer in the body is masked off, so the (at most
-        ``unroll - 1``) overshoot iterations are no-ops on all carries."""
+        ``unroll - 1``) overshoot iterations are no-ops on all carries.
+
+        ``restart_every`` gates the restart machinery (per-slot key
+        derivation + momentum sampling + machine re-init — comparable in
+        cost to a leapfrog at small d) to bodies whose in-block index is a
+        multiple of it, STATICALLY — no ``lax.cond`` over the carry.  A
+        closing chain parks at most ``restart_every - 1`` leaves before its
+        next transition starts; the work each chain does (keys, leaves,
+        samples) is unchanged, only shifted to later loop iterations."""
         if unroll == 1:
-            return body
+            return lambda carry: body(carry, True)
 
         def block(carry):
-            for _ in range(unroll):
-                carry = body(carry)
+            for i in range(unroll):
+                carry = body(carry, i % restart_every == 0)
             return carry
 
         return block
@@ -430,7 +452,7 @@ def build_fused_many_steps(
             _, cursor, *_ = carry
             return jnp.any(cursor < T)
 
-        def body(carry):
+        def body(carry, do_restart=True):
             machines, cursor, running, offset, last_state, hist, finals, grads = carry
             active = cursor < T
 
@@ -582,7 +604,7 @@ def build_fused_many_steps(
             _, steps, *_ = carry
             return jnp.any(steps < S)
 
-        def body(carry):
+        def body(carry, do_restart=True):
             machines, steps, running, offset, last_state, hist, grads = carry
             active = steps < S
 
@@ -628,33 +650,34 @@ def build_fused_many_steps(
             )
             offset = jnp.maximum(offset, new_offset.astype(offset.dtype))
 
-            # restart any non-running active chain whose next transition
-            # still writes inside the window (newly closed or parked)
-            restart = (
-                active
-                & ~running
-                & (next_steps < S)
-                & (next_steps - offset < W)
-            )
-            next_keys = rng_keys[
-                jnp.minimum(next_steps, S - 1), jnp.arange(num_chains)
-            ]
-            # restart from the state captured AT close (last_state): a
-            # parked chain's machine keeps garbage-evolving after done, so
-            # its proposal.state is not readable by the time it restarts
-            fresh = jax.vmap(start_transition)(next_keys, last_state)
-            # the checkpoint slot scheme never reads a slot that was not
-            # written earlier in the SAME subtree (slot 0 is rewritten at
-            # every subtree's leaf 0), so stale buffers from the previous
-            # transition are harmless — skip their (K, d) select entirely
-            slim_fresh = fresh._replace(ckpt_momentum=(), ckpt_momentum_sum=())
-            slim_mach = machines._replace(ckpt_momentum=(), ckpt_momentum_sum=())
-            merged = _bselect(restart, slim_fresh, slim_mach)
-            machines = merged._replace(
-                ckpt_momentum=machines.ckpt_momentum,
-                ckpt_momentum_sum=machines.ckpt_momentum_sum,
-            )
-            running = running | restart
+            if do_restart:
+                # restart any non-running active chain whose next transition
+                # still writes inside the window (newly closed or parked)
+                restart = (
+                    active
+                    & ~running
+                    & (next_steps < S)
+                    & (next_steps - offset < W)
+                )
+                next_keys = rng_keys[
+                    jnp.minimum(next_steps, S - 1), jnp.arange(num_chains)
+                ]
+                # restart from the state captured AT close (last_state): a
+                # parked chain's machine keeps garbage-evolving after done,
+                # so its proposal.state is not readable when it restarts
+                fresh = jax.vmap(start_transition)(next_keys, last_state)
+                # the checkpoint slot scheme never reads a slot that was not
+                # written earlier in the SAME subtree (slot 0 is rewritten
+                # at every subtree's leaf 0), so stale buffers from the
+                # previous transition are harmless — skip the (K, d) select
+                slim_fresh = fresh._replace(ckpt_momentum=(), ckpt_momentum_sum=())
+                slim_mach = machines._replace(ckpt_momentum=(), ckpt_momentum_sum=())
+                merged = _bselect(restart, slim_fresh, slim_mach)
+                machines = merged._replace(
+                    ckpt_momentum=machines.ckpt_momentum,
+                    ckpt_momentum_sum=machines.ckpt_momentum_sum,
+                )
+                running = running | restart
             return machines, next_steps, running, offset, last_state, hist, grads
 
         machines, steps, running, offset, last_state, hist, grads = (

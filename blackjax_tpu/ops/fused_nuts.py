@@ -1,0 +1,537 @@
+"""The continuous NUTS machine as ONE Pallas kernel: every transition of
+every chain in a tile runs with the whole machine state VMEM-resident.
+
+Motivation (ARCHITECTURE §4): the XLA continuous runner's while loop is
+carry-bandwidth-bound — the ~20 MB machine carry round-trips HBM every
+leaf (~60 ns/chain-grad at m=4 vs the MCLMC scan's 14 ns). This kernel
+keeps the state on-chip for the WHOLE run: HBM sees the initial positions
+once, the per-close history rows, and the final state.
+
+Semantics: the flattened lockstep machine of
+:func:`blackjax_tpu.mcmc.trajectory.flattened_nuts_machine` (one leapfrog
+per iteration, branch-free subtree bookkeeping, checkpointed U-turn slots,
+biased trajectory merge), with an inline restart: a chain that completes a
+transition starts its next one on the following iteration — exactly the
+continuous-runner schedule. Works for registered analytic targets
+(:class:`blackjax_tpu.ops.fused_leapfrog.TargetKernel`) with a diagonal
+metric.
+
+Equivalence: DOCUMENTED equivalence, not bit-identity — randomness is
+in-kernel counter-based threefry2x32 keyed on (seed, chain, step,
+depth/leaf, stream), a different stream from JAX's host PRNG. The machine
+arithmetic is the same as the XLA engine; tests compare acceptance,
+trajectory-length distribution, moments and ESS against the XLA path on
+identical configurations.
+"""
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blackjax_tpu.ops.fused_leapfrog import TargetKernel, _round_up
+from blackjax_tpu.ops.fused_mclmc import _threefry2x32
+
+__all__ = ["fused_nuts_run"]
+
+_LANE = 128
+_SUBLANE = 8
+
+
+def _popcount8(x):
+    """Population count for small non-negative int32 (< 2^30) via SWAR."""
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
+
+
+def _counter_uniforms(seed, c0, tag, sub):
+    """One U[0,1) per element of ``c0`` (int32 array), keyed by (seed,
+    c0, tag | sub). 24-bit mantissa construction as in fused_mclmc."""
+    b1, _ = _threefry2x32(
+        seed.astype(jnp.uint32),
+        jnp.uint32(0x9E3779B9),
+        c0.astype(jnp.uint32),
+        (jnp.uint32(tag) << jnp.uint32(24)) | sub.astype(jnp.uint32),
+    )
+    return (b1 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (2.0**-24)
+
+
+def _nuts_kernel(
+    *refs,
+    grad_tile,
+    logdensity_tile,
+    num_steps,
+    budget,
+    chunk,
+    max_depth,
+    d,
+    d_pad,
+    n_params,
+    n_track,
+    divergence_threshold,
+    disable=(),
+):
+    scalars = refs[0]  # SMEM (1,) f32: step_size
+    seed_ref = refs[1]  # SMEM (1,) int32
+    x_ref, imm_ref = refs[2:4]
+    param_refs = refs[4 : 4 + n_params]
+    out_refs = refs[4 + n_params :]
+    xacc_ref, steps_ref, grads_ref = out_refs[:3]
+    hist_refs = out_refs[3 : 3 + n_track]
+
+    eps = scalars[0]
+    seed = seed_ref[0]
+    tc = x_ref.shape[0]
+    S = num_steps
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, d_pad), 1)
+    mask = (lane < d).astype(jnp.float32)
+    imm = imm_ref[:] * mask  # (1, dp); zero pad lanes kill all pad traffic
+    sigma_m = jnp.sqrt(jnp.where(imm > 0.0, 1.0 / jnp.where(imm > 0.0, imm, 1.0), 0.0))
+    params = tuple(p[:] for p in param_refs)
+
+    chain_g = (
+        jax.lax.broadcasted_iota(jnp.int32, (tc, 1), 0)
+        + pl.program_id(0) * tc
+    )  # (tc, 1) global chain ids
+    # history rows in f32: Mosaic cannot lane-relayout int/bool (tc,1)
+    # columns, so the row match runs in exact small-int float arithmetic
+    srow = jax.lax.broadcasted_iota(jnp.int32, (S, tc), 0).astype(jnp.float32)
+    # (tc, tc) identity: column->row "transposes" run on the MXU (Mosaic has
+    # no lane-broadcast relayout for (tc, 1) columns)
+    eye_tc = (
+        jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (tc, tc), 1)
+    ).astype(jnp.float32)
+
+    def to_rows(cols):
+        """(tc, k) columns -> (k, tc) rows via one MXU contraction."""
+        return jax.lax.dot_general(
+            cols,
+            eye_tc,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def dot_d(a, b):
+        return jnp.sum(a * b, axis=1, keepdims=True)
+
+    def kinetic(m):
+        return 0.5 * dot_d(m * imm, m)
+
+    def turning(m_left, m_right, m_sum):
+        rho = m_sum - 0.5 * (m_left + m_right)
+        return (dot_d(imm * m_left, rho) <= 0.0) | (dot_d(imm * m_right, rho) <= 0.0)
+
+    ones_row = jnp.ones((1, d_pad), jnp.float32)
+
+    def bcol(col_f32):
+        """(tc, 1) f32 column -> (tc, d_pad) lane-replicated, via an MXU
+        outer product (Mosaic has no lane-broadcast relayout for columns
+        that were not born from a lane reduction)."""
+        return jax.lax.dot_general(
+            col_f32,
+            ones_row,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def sel(pred, a, b):
+        """Select with a (tc, 1) boolean; (tc, d_pad) operands get the
+        predicate lane-replicated through :func:`bcol` first."""
+        if a.ndim == 2 and a.shape[-1] == d_pad:
+            predf = bcol(jnp.where(pred, jnp.float32(1), jnp.float32(0)))
+            return jnp.where(predf > 0.5, a, b)
+        return jnp.where(pred, a, b)
+
+    # ---- initial chain state -------------------------------------------
+    x0 = x_ref[:]
+    g0 = grad_tile(x0, mask, *params)
+    ld0 = logdensity_tile(x0, mask, *params)[:, None]
+
+    zero_v = jnp.zeros((tc, d_pad), jnp.float32)
+    zero_s = jnp.zeros((tc, 1), jnp.float32)
+    zero_i = jnp.zeros((tc, 1), jnp.int32)
+    fbool = jnp.zeros((tc, 1), jnp.bool_)
+
+    state0 = dict(
+        # accepted chain state (restart base)
+        acc_x=x0, acc_g=g0, acc_ld=ld0,
+        steps=zero_i,
+        done=jnp.ones((tc, 1), jnp.bool_),  # forces a start on iteration 0
+        # machine registers (garbage until the first restart)
+        cur_x=x0, cur_m=zero_v, cur_g=g0, cur_ld=ld0,
+        left_x=x0, left_m=zero_v, left_g=g0, left_ld=ld0,
+        right_x=x0, right_m=zero_v, right_g=g0, right_ld=ld0,
+        msum=zero_v, sub_msum=zero_v,
+        prop_x=x0, prop_g=g0, prop_ld=ld0,
+        prop_w=zero_s, prop_slpa=zero_s,
+        sub_x=x0, sub_g=g0, sub_ld=ld0,
+        sub_w=zero_s, sub_slpa=zero_s,
+        h0=zero_s,
+        direction=jnp.ones((tc, 1), jnp.float32),
+        depth=zero_i, leaf=zero_i, nstates=zero_i,
+        div=fbool, turn=fbool,
+        grads=zero_s,  # per-chain grad-eval counts (summed outside)
+        ckpt_m=jnp.zeros((max_depth, tc, d_pad), jnp.float32),
+        ckpt_s=jnp.zeros((max_depth, tc, d_pad), jnp.float32),
+        hist=tuple(jnp.zeros((S, tc), jnp.float32) for _ in range(n_track)),
+    )
+    keys = list(state0.keys())
+
+    def leaf_step(_, carry):
+        s = dict(zip(keys, carry))
+        live = s["steps"] < S
+
+        # ---- inline restart: chains that closed start the next one ----
+        start = s["done"] & live
+        base_c0 = chain_g * S + s["steps"]  # (tc,1) per-(chain, step) id
+        # momentum noise: Box-Muller on threefry keyed (lane; tag | base).
+        # base = chain*S + step < 2^20 is f32-exact, so the (tc, d_pad)
+        # replication can ride the MXU outer product (bcol); the lane index
+        # comes from a 2-D iota directly — no integer lane broadcast anywhere
+        base_full = bcol(base_c0.astype(jnp.float32)).astype(jnp.int32)
+        lane_full = jax.lax.broadcasted_iota(jnp.int32, (tc, d_pad), 1)
+        b1, b2 = _threefry2x32(
+            jnp.uint32(seed),
+            jnp.uint32(0x9E3779B9),
+            lane_full.astype(jnp.uint32),
+            (jnp.uint32(1) << jnp.uint32(24)) | base_full.astype(jnp.uint32),
+        )
+        u1 = ((b1 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) + 1.0) * (
+            2.0**-24
+        )
+        u2 = (b2 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (2.0**-24)
+        fresh_m = (
+            sigma_m
+            * mask
+            * jnp.sqrt(-2.0 * jnp.log(u1))
+            * jnp.cos(6.283185307179586 * u2)
+        )
+
+        h0_new = -s["acc_ld"] + kinetic(fresh_m)
+        for name, fresh in [
+            ("cur_x", s["acc_x"]), ("cur_m", fresh_m), ("cur_g", s["acc_g"]),
+            ("cur_ld", s["acc_ld"]),
+            ("left_x", s["acc_x"]), ("left_m", fresh_m), ("left_g", s["acc_g"]),
+            ("left_ld", s["acc_ld"]),
+            ("right_x", s["acc_x"]), ("right_m", fresh_m), ("right_g", s["acc_g"]),
+            ("right_ld", s["acc_ld"]),
+            ("msum", fresh_m), ("sub_msum", fresh_m * 0.0),
+            ("prop_x", s["acc_x"]), ("prop_g", s["acc_g"]), ("prop_ld", s["acc_ld"]),
+            ("sub_x", s["acc_x"]), ("sub_g", s["acc_g"]), ("sub_ld", s["acc_ld"]),
+        ]:
+            s[name] = sel(start, fresh, s[name])
+        for name, fresh in [
+            ("prop_w", zero_s), ("prop_slpa", jnp.full((tc, 1), -jnp.inf)),
+            ("sub_w", zero_s), ("sub_slpa", jnp.full((tc, 1), -jnp.inf)),
+            ("h0", h0_new),
+        ]:
+            s[name] = sel(start, fresh, s[name])
+        for name in ["depth", "leaf", "nstates"]:
+            s[name] = sel(start, zero_i, s[name])
+        s["div"] = s["div"] & ~start
+        s["turn"] = s["turn"] & ~start
+        s["done"] = s["done"] & ~start
+
+        active = ~s["done"] & live
+
+        # ---- subtree start: direction draw, register reset -------------
+        at_start = (s["leaf"] == 0) & active
+        u_dir = _counter_uniforms(seed, base_c0, 2, s["depth"])
+        new_dir = jnp.where(u_dir < 0.5, -1.0, 1.0)
+        direction = sel(at_start, new_dir, s["direction"])
+        fwd = direction > 0.0
+        cur_x = sel(at_start, sel(fwd, s["right_x"], s["left_x"]), s["cur_x"])
+        cur_m = sel(at_start, sel(fwd, s["right_m"], s["left_m"]), s["cur_m"])
+        cur_g = sel(at_start, sel(fwd, s["right_g"], s["left_g"]), s["cur_g"])
+
+        # ---- one leapfrog (velocity verlet, diag metric) ---------------
+        d_eps = bcol(direction) * eps  # (tc, d_pad), lane-replicated
+        m_half = cur_m + 0.5 * d_eps * cur_g
+        new_x = cur_x + d_eps * (imm * m_half)
+        new_g = grad_tile(new_x, mask, *params)
+        new_m = m_half + 0.5 * d_eps * new_g
+        new_ld = logdensity_tile(new_x, mask, *params)[:, None]
+
+        energy = -new_ld + kinetic(new_m)
+        delta = s["h0"] - energy
+        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+        leaf_w = delta
+        leaf_slpa = jnp.minimum(delta, 0.0)
+        leaf_div = (-delta > divergence_threshold) & active
+
+        # ---- subtree progressive (uniform) sampling --------------------
+        u_leaf = _counter_uniforms(seed, base_c0, 3, s["nstates"])
+        p_acc = jax.nn.sigmoid(leaf_w - s["sub_w"])
+        take = (u_leaf < p_acc) & active
+        merged_w = jnp.logaddexp(s["sub_w"], leaf_w)
+        merged_slpa = jnp.logaddexp(s["sub_slpa"], leaf_slpa)
+        sub_x = sel(at_start, new_x, sel(take, new_x, s["sub_x"]))
+        sub_g = sel(at_start, new_g, sel(take, new_g, s["sub_g"]))
+        sub_ld = sel(at_start, new_ld, sel(take, new_ld, s["sub_ld"]))
+        sub_w = sel(at_start, leaf_w, merged_w)
+        sub_slpa = sel(at_start, leaf_slpa, merged_slpa)
+        sub_msum = sel(at_start, new_m, s["sub_msum"] + new_m)
+
+        # ---- checkpoint slots ------------------------------------------
+        leaf_i = s["leaf"]
+        idx_max = _popcount8(leaf_i >> 1)
+        low_zero_mask = ((~leaf_i) & (leaf_i + 1)) - 1
+        idx_min = idx_max - _popcount8(low_zero_mask) + 1
+        is_even = (leaf_i % 2) == 0
+
+        ckpt_m, ckpt_s_ = s["ckpt_m"], s["ckpt_s"]
+        new_ckpt_m, new_ckpt_s = [], []
+        subtree_turning = fbool
+        for i in range(0 if "ckpt" in disable else max_depth):
+            w_i = (is_even & (idx_max == i) & active)  # (tc,1)
+            new_ckpt_m.append(sel(w_i, new_m, ckpt_m[i]))
+            new_ckpt_s.append(sel(w_i, sub_msum, ckpt_s_[i]))
+            chk = (i >= idx_min) & (i <= idx_max) & ~is_even
+            subtree_sum = sub_msum - new_ckpt_s[i] + new_ckpt_m[i]
+            subtree_turning = subtree_turning | (
+                chk & turning(new_ckpt_m[i], new_m, subtree_sum)
+            )
+        if "ckpt" not in disable:
+            s["ckpt_m"] = jnp.stack(new_ckpt_m)
+            s["ckpt_s"] = jnp.stack(new_ckpt_s)
+        subtree_turning = subtree_turning & active
+
+        # ---- subtree boundary ------------------------------------------
+        leaf_next = leaf_i + 1
+        subtree_complete = leaf_next >= (1 << s["depth"])
+        aborted = leaf_div | subtree_turning
+        closing = (subtree_complete | aborted) & active
+
+        msum = sel(closing, s["msum"] + sub_msum, s["msum"])
+        left_x = sel(closing & ~fwd, new_x, s["left_x"])
+        left_m = sel(closing & ~fwd, new_m, s["left_m"])
+        left_g = sel(closing & ~fwd, new_g, s["left_g"])
+        left_ld = sel(closing & ~fwd, new_ld, s["left_ld"])
+        right_x = sel(closing & fwd, new_x, s["right_x"])
+        right_m = sel(closing & fwd, new_m, s["right_m"])
+        right_g = sel(closing & fwd, new_g, s["right_g"])
+        right_ld = sel(closing & fwd, new_ld, s["right_ld"])
+
+        # trajectory-level proposal merge (biased toward the new subtree);
+        # an aborted subtree contributes acceptance statistics only
+        u_prop = _counter_uniforms(seed, base_c0, 4, s["depth"])
+        p_biased = jnp.minimum(jnp.exp(sub_w - s["prop_w"]), 1.0)
+        take_traj = (u_prop < p_biased) & closing & ~aborted
+        merged_pw = jnp.logaddexp(s["prop_w"], sub_w)
+        merged_pslpa = jnp.logaddexp(s["prop_slpa"], sub_slpa)
+        prop_x = sel(take_traj, sub_x, s["prop_x"])
+        prop_g = sel(take_traj, sub_g, s["prop_g"])
+        prop_ld = sel(take_traj, sub_ld, s["prop_ld"])
+        prop_w = sel(closing, sel(aborted, s["prop_w"], merged_pw), s["prop_w"])
+        prop_slpa = sel(closing, merged_pslpa, s["prop_slpa"])
+
+        full_turn = closing & turning(left_m, right_m, msum)
+
+        depth = sel(closing, s["depth"] + 1, s["depth"])
+        leaf_out = sel(closing, zero_i, leaf_next)
+        div = s["div"] | leaf_div
+        turn = s["turn"] | (closing & (subtree_turning | full_turn))
+        done_new = div | turn | (closing & (depth >= max_depth))
+        nstates = sel(active, s["nstates"] + 1, s["nstates"])
+
+        # ---- transition close ------------------------------------------
+        just_closed = active & done_new
+        s["grads"] = s["grads"] + jnp.where(
+            just_closed, nstates.astype(jnp.float32), 0.0
+        )
+        steps = sel(just_closed, s["steps"] + 1, s["steps"])
+        acc_x = sel(just_closed, prop_x, s["acc_x"])
+        acc_g = sel(just_closed, prop_g, s["acc_g"])
+        acc_ld = sel(just_closed, prop_ld, s["acc_ld"])
+
+        # one MXU transpose for ALL per-chain columns the write needs
+        hist = list(s["hist"])
+        if "hist" not in disable:
+            cols = jnp.concatenate(
+                [
+                    s["steps"].astype(jnp.float32),
+                    just_closed.astype(jnp.float32),
+                    prop_x[:, :n_track],
+                ],
+                axis=1,
+            )  # (tc, 2 + n_track)
+            rows = to_rows(cols)  # (2 + n_track, tc)
+            write_row = (srow == rows[0:1]) & (rows[1:2] > 0.5)  # (S, tc)
+            for k in range(n_track):
+                hist[k] = jnp.where(write_row, rows[2 + k : 3 + k], hist[k])
+
+        s.update(
+            cur_x=new_x, cur_m=new_m, cur_g=new_g, cur_ld=new_ld,
+            left_x=left_x, left_m=left_m, left_g=left_g, left_ld=left_ld,
+            right_x=right_x, right_m=right_m, right_g=right_g, right_ld=right_ld,
+            msum=msum, sub_msum=sub_msum,
+            prop_x=prop_x, prop_g=prop_g, prop_ld=prop_ld,
+            prop_w=prop_w, prop_slpa=prop_slpa,
+            sub_x=sub_x, sub_g=sub_g, sub_ld=sub_ld,
+            sub_w=sub_w, sub_slpa=sub_slpa,
+            direction=direction, depth=depth, leaf=leaf_out, nstates=nstates,
+            div=div, turn=turn, done=done_new | s["done"],
+            steps=steps, acc_x=acc_x, acc_g=acc_g, acc_ld=acc_ld,
+            hist=tuple(hist),
+        )
+        return tuple(s[k] for k in keys)
+
+    def chunk_body(c, carry):
+        # skip whole chunks once the tile is finished (predicated, cheap)
+        steps_now = carry[keys.index("steps")]
+        return jax.lax.cond(
+            jnp.all(steps_now >= S),
+            lambda cr: cr,
+            lambda cr: jax.lax.fori_loop(0, chunk, leaf_step, cr),
+            carry,
+        )
+
+    carry = jax.lax.fori_loop(
+        0, budget // chunk, chunk_body, tuple(state0[k] for k in keys)
+    )
+    final = dict(zip(keys, carry))
+
+    xacc_ref[:] = final["acc_x"]
+    steps_ref[:] = final["steps"]
+    grads_ref[:] = final["grads"]
+    for k in range(n_track):
+        hist_refs[k][:] = final["hist"][k]
+
+
+def fused_nuts_run(
+    positions,
+    inverse_mass_matrix,
+    step_size,
+    *,
+    target: TargetKernel,
+    num_steps: int,
+    max_num_doublings: int = 8,
+    seed: int = 0,
+    num_track: int = 8,
+    tile_chains: int = 256,
+    budget: int = None,
+    chunk: int = 64,
+    divergence_threshold: float = 1000.0,
+    interpret: bool = False,
+    debug: bool = False,
+):
+    """Run ``num_steps`` NUTS transitions per chain entirely on-chip.
+
+    ``positions``: ``(C, d)`` f32; ``inverse_mass_matrix``: diagonal
+    ``(d,)``. Returns ``(final_positions (C, d), history (C, num_steps,
+    num_track), total_grads, steps (C,))`` — ``steps[c] < num_steps``
+    means the iteration ``budget`` was exhausted before chain ``c``
+    finished (raise the budget).
+    """
+    C, d = positions.shape
+    if d != target.dim:
+        raise ValueError(f"positions dim {d} != registered target dim {target.dim}")
+    if num_track > d:
+        raise ValueError(f"num_track={num_track} > dim {d}")
+    d_pad = _round_up(d, _LANE)
+    tile_chains = max(_SUBLANE, _round_up(min(tile_chains, max(C, 1)), _SUBLANE))
+    c_pad = _round_up(C, tile_chains)
+    n_tiles = c_pad // tile_chains
+    if budget is None:
+        # generous default: ~2x the expected total leaves per chain at the
+        # benchmark geometry (mean ~15 leaves/transition)
+        budget = 32 * num_steps
+    budget = _round_up(budget, chunk)
+
+    x = jnp.pad(positions.astype(jnp.float32), ((0, c_pad - C), (0, d_pad - d)))
+    imm = jnp.pad(
+        jnp.broadcast_to(inverse_mass_matrix, (d,)).astype(jnp.float32),
+        (0, d_pad - d),
+    )[None, :]
+
+    def _pad_param(a):
+        a = jnp.asarray(a, jnp.float32)
+        if a.ndim == 1:
+            # (d,) -> (1, d_pad); keep single-row broadcast semantics
+            return jnp.pad(a, (0, d_pad - a.shape[0]))[None, :]
+        rows = _round_up(a.shape[0], _SUBLANE)
+        cols = _round_up(a.shape[1], _LANE)
+        return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
+
+    padded_params = tuple(_pad_param(p) for p in target.params)
+
+    kernel = functools.partial(
+        _nuts_kernel,
+        grad_tile=target.grad_tile,
+        logdensity_tile=target.logdensity_tile,
+        num_steps=num_steps,
+        budget=budget,
+        chunk=chunk,
+        max_depth=max_num_doublings,
+        d=d,
+        d_pad=d_pad,
+        n_params=len(padded_params),
+        n_track=num_track,
+        divergence_threshold=divergence_threshold,
+        disable=tuple(
+            f for f in os.environ.get("FNUTS_DISABLE", "").split(",") if f
+        ),
+    )
+
+    tile_spec = pl.BlockSpec(
+        (tile_chains, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    rep2 = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((c_pad, d_pad), jnp.float32),  # acc_x
+        jax.ShapeDtypeStruct((c_pad, 1), jnp.int32),  # steps
+        jax.ShapeDtypeStruct((c_pad, 1), jnp.float32),  # grads per chain
+    ] + [
+        jax.ShapeDtypeStruct((num_steps, c_pad), jnp.float32)
+        for _ in range(num_track)
+    ]
+    out_specs = [
+        tile_spec,
+        pl.BlockSpec((tile_chains, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_chains, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(
+            (num_steps, tile_chains), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        for _ in range(num_track)
+    ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile_spec,
+            rep2((1, d_pad)),
+        ]
+        + [rep2(pp.shape) for pp in padded_params],
+        out_specs=out_specs,
+        interpret=interpret,
+        debug=debug,
+    )(
+        jnp.asarray([step_size], jnp.float32),
+        jnp.asarray([seed], jnp.int32),
+        x,
+        imm,
+        *padded_params,
+    )
+    acc_x, steps, grads = outs[0], outs[1], outs[2]
+    hist = outs[3:]
+    history = jnp.stack([h[:, :C] for h in hist], axis=-1).transpose(1, 0, 2)
+    return (
+        acc_x[:C, :d],
+        history,  # (C, num_steps, num_track)
+        jnp.sum(grads[:C]),
+        steps[:C, 0],
+    )

@@ -280,8 +280,8 @@ def test_fused_many_steps_oversubscribed_bit_identical(rng_key, m):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-@pytest.mark.parametrize("m,unroll", [(1, 4), (3, 2)])
-def test_fused_many_steps_unrolled_bit_identical(rng_key, m, unroll):
+@pytest.mark.parametrize("m,unroll,restart_every", [(1, 4, 1), (3, 2, 1), (1, 4, 4), (3, 4, 2)])
+def test_fused_many_steps_unrolled_bit_identical(rng_key, m, unroll, restart_every):
     """while-loop unrolling (multiple machine leaves per iteration, with
     masked no-op overshoot at the end) must not change samples, finals, or
     grad counts — on both the plain and oversubscribed runners.
@@ -314,6 +314,7 @@ def test_fused_many_steps_unrolled_bit_identical(rng_key, m, unroll):
             num_steps=num_steps,
             oversubscription=m,
             unroll=unroll,
+            restart_every=restart_every,
         )
     )
     fu_, hu, gu = unrolled(rng_keys, states)

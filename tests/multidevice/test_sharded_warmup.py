@@ -124,6 +124,47 @@ def test_chees_update_matches_vmap(rng_key):
     )
 
 
+def test_chees_sharded_run_matches_vmap_mid_horizon(rng_key):
+    """Tight mid-horizon equivalence: at 20 steps the sharded run has not
+    yet accumulated meaningful association-order drift through adam, so the
+    adapted parameters must agree to ~1e-3 — a regression gate the loose
+    statistical 400-step check (rtol 0.25) cannot provide."""
+    num_chains, steps = 64, 20
+    positions = jax.random.normal(jax.random.key(1), (num_chains, 4)) * jnp.sqrt(
+        TRUE_VAR
+    )
+    optim = optax.adam(0.25)
+
+    ref = chees_adaptation(LOGDENSITY, num_chains, mass_matrix_estimation="diagonal")
+    res_ref, _ = ref.run(rng_key, positions, 0.5, optim, steps)
+
+    algo = chees_adaptation(
+        LOGDENSITY, num_chains, mass_matrix_estimation="diagonal", axis_name="chains"
+    )
+
+    def run(key, pos):
+        res, _ = algo.run(key, pos, 0.5, optim, steps)
+        return (
+            res.parameters["step_size"],
+            res.parameters["integration_steps_params"][0],
+        )
+
+    ss, isp = jax.shard_map(
+        run,
+        mesh=chains_mesh(),
+        in_specs=(REP, P),
+        out_specs=(REP, REP),
+        check_vma=False,
+    )(rng_key, positions)
+
+    tol = 1e-3 if jax.config.jax_enable_x64 else 5e-3
+    ref_p = res_ref.parameters
+    np.testing.assert_allclose(float(ss), float(ref_p["step_size"]), rtol=tol)
+    np.testing.assert_allclose(
+        float(isp), float(ref_p["integration_steps_params"][0]), rtol=tol
+    )
+
+
 @pytest.mark.slow
 def test_chees_sharded_run_matches_vmap_statistically(rng_key):
     num_chains, steps = 64, 400
