@@ -31,10 +31,16 @@ def main():
     step_size, imm = bench._warmup_params(warm_key)
     print(f"warmup: step_size={step_size:.5f}", file=sys.stderr)
 
-    from blackjax_tpu.ops.fused_leapfrog import make_hierarchical_gaussian_target
-    from blackjax_tpu.ops.fused_nuts import fused_nuts_run
+    from blackjax_tpu.ops.fused_leapfrog import make_gaussian_target
+    from blackjax_tpu.ops.fused_nuts import (
+        fused_nuts_run,
+        make_mxu_safe_hierarchical_target,
+    )
 
-    target = make_hierarchical_gaussian_target(bench.DIM)
+    if os.environ.get("FNUTS_TARGET", "hierarchical") == "gaussian":
+        target = make_gaussian_target(bench.DIM)
+    else:
+        target = make_mxu_safe_hierarchical_target(bench.DIM)
     init_keys = jax.random.split(run_key, bench.NUM_CHAINS)
     positions = 0.5 * jax.vmap(lambda k: jax.random.normal(k, (bench.DIM,)))(init_keys)
 

@@ -34,10 +34,85 @@ from jax.experimental.pallas import tpu as pltpu
 from blackjax_tpu.ops.fused_leapfrog import TargetKernel, _round_up
 from blackjax_tpu.ops.fused_mclmc import _threefry2x32
 
-__all__ = ["fused_nuts_run"]
+__all__ = ["fused_nuts_run", "make_mxu_safe_hierarchical_target"]
 
 _LANE = 128
 _SUBLANE = 8
+
+# per-iteration quantities dumped by the debug trace (fused_nuts_run(trace=N))
+TRACE_COLS = (
+    "start", "at_start", "direction", "depth", "leaf", "delta", "u_leaf",
+    "take", "sub_w", "u_prop", "take_traj", "prop_w", "closing", "done_new",
+    "energy", "h0", "ltau", "aborted",
+)
+
+
+def _outer_bcast(col, d_pad):
+    """(tc, 1) f32 -> (tc, d_pad) lane-replicated via an MXU outer product
+    (Mosaic cannot lane-broadcast columns not born from a lane reduction)."""
+    return jax.lax.dot_general(
+        col,
+        jnp.ones((1, d_pad), jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def make_mxu_safe_hierarchical_target(dim: int) -> TargetKernel:
+    """The flagship hierarchical Gaussian with every column born from a
+    lane reduction and every column->vector broadcast routed through the
+    MXU. The stock ``make_hierarchical_gaussian_target`` tile extracts
+    ``log_tau`` with a lane slice (``x[:, 0]``); inside this kernel's
+    loop Mosaic propagates that slice layout into the carry and then
+    needs an unimplemented lane-broadcast relayout. Extracting the
+    column as a masked lane *reduction* keeps every (tc, 1) value in the
+    reduction-born layout the rest of the kernel uses."""
+    n_theta = dim - 1
+
+    def logdensity_tile(x, mask):
+        d_pad = x.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, d_pad), 1)
+        is_tau = (lane == 0).astype(x.dtype) * mask
+        theta_mask = mask * (lane > 0).astype(x.dtype)
+        log_tau = jnp.sum(x * is_tau, axis=1, keepdims=True)  # (tc, 1)
+        theta_sq = jnp.sum((x * theta_mask) ** 2, axis=1, keepdims=True)
+        return (
+            -0.5 * log_tau**2
+            - 0.5 * theta_sq * jnp.exp(-log_tau)
+            - 0.5 * n_theta * log_tau
+        )
+
+    def grad_tile(x, mask):
+        d_pad = x.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, d_pad), 1)
+        is_tau = (lane == 0).astype(x.dtype) * mask
+        theta_mask = mask * (lane > 0).astype(x.dtype)
+        log_tau = jnp.sum(x * is_tau, axis=1, keepdims=True)  # (tc, 1)
+        exp_neg_col = jnp.exp(-log_tau)
+        theta_sq = jnp.sum((x * theta_mask) ** 2, axis=1, keepdims=True)
+        g_tau_col = -log_tau + 0.5 * theta_sq * exp_neg_col - 0.5 * n_theta
+        exp_neg = _outer_bcast(exp_neg_col, d_pad)
+        g_tau = _outer_bcast(g_tau_col, d_pad)
+        g_theta = -(x * theta_mask) * exp_neg
+        return is_tau * g_tau + g_theta
+
+    def logdensity_fn(x):
+        log_tau = x[..., 0]
+        theta = x[..., 1:]
+        return (
+            -0.5 * log_tau**2
+            - 0.5 * jnp.sum(theta**2, axis=-1) * jnp.exp(-log_tau)
+            - 0.5 * n_theta * log_tau
+        )
+
+    return TargetKernel(
+        name="hierarchical_gaussian_mxu_safe",
+        dim=dim,
+        logdensity_tile=logdensity_tile,
+        grad_tile=grad_tile,
+        logdensity_fn=logdensity_fn,
+    )
 
 
 def _popcount8(x):
@@ -74,6 +149,7 @@ def _nuts_kernel(
     n_track,
     divergence_threshold,
     disable=(),
+    trace=0,
 ):
     scalars = refs[0]  # SMEM (1,) f32: step_size
     seed_ref = refs[1]  # SMEM (1,) int32
@@ -82,6 +158,7 @@ def _nuts_kernel(
     out_refs = refs[4 + n_params :]
     xacc_ref, steps_ref, grads_ref = out_refs[:3]
     hist_refs = out_refs[3 : 3 + n_track]
+    trace_refs = out_refs[3 + n_track :]
 
     eps = scalars[0]
     seed = seed_ref[0]
@@ -115,6 +192,7 @@ def _nuts_kernel(
             eye_tc,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         )
 
     def dot_d(a, b):
@@ -138,6 +216,7 @@ def _nuts_kernel(
             ones_row,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         )
 
     def sel(pred, a, b):
@@ -148,21 +227,33 @@ def _nuts_kernel(
             return jnp.where(predf > 0.5, a, b)
         return jnp.where(pred, a, b)
 
+    def ld_col(x):
+        """Tile logdensity as a (tc, 1) column; tile fns may return
+        (tc,) (reduction-born) or (tc, 1) directly."""
+        ld = logdensity_tile(x, mask, *params)
+        return ld if ld.ndim == 2 else ld[:, None]
+
     # ---- initial chain state -------------------------------------------
     x0 = x_ref[:]
     g0 = grad_tile(x0, mask, *params)
-    ld0 = logdensity_tile(x0, mask, *params)[:, None]
+    ld0 = ld_col(x0)
 
     zero_v = jnp.zeros((tc, d_pad), jnp.float32)
-    zero_s = jnp.zeros((tc, 1), jnp.float32)
-    zero_i = jnp.zeros((tc, 1), jnp.int32)
-    fbool = jnp.zeros((tc, 1), jnp.bool_)
+    # column constants must be iota-born: a replicated-layout constant
+    # column forces Mosaic to relayout its {0,*} select partner to {*,*},
+    # which is not implemented
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (tc, 1), 0)
+    zero_i = col_iota * 0
+    zero_s = col_iota.astype(jnp.float32) * 0.0
+    fbool = col_iota < 0
+    tbool = col_iota >= 0
+    neg_inf_col = zero_s - jnp.inf
 
     state0 = dict(
         # accepted chain state (restart base)
         acc_x=x0, acc_g=g0, acc_ld=ld0,
         steps=zero_i,
-        done=jnp.ones((tc, 1), jnp.bool_),  # forces a start on iteration 0
+        done=zero_s + 1.0,  # f32 flag: forces a start on iteration 0
         # machine registers (garbage until the first restart)
         cur_x=x0, cur_m=zero_v, cur_g=g0, cur_ld=ld0,
         left_x=x0, left_m=zero_v, left_g=g0, left_ld=ld0,
@@ -173,18 +264,28 @@ def _nuts_kernel(
         sub_x=x0, sub_g=g0, sub_ld=ld0,
         sub_w=zero_s, sub_slpa=zero_s,
         h0=zero_s,
-        direction=jnp.ones((tc, 1), jnp.float32),
+        direction=zero_s + 1.0,
         depth=zero_i, leaf=zero_i, nstates=zero_i,
-        div=fbool, turn=fbool,
+        div=zero_s, turn=zero_s,
         grads=zero_s,  # per-chain grad-eval counts (summed outside)
         ckpt_m=jnp.zeros((max_depth, tc, d_pad), jnp.float32),
         ckpt_s=jnp.zeros((max_depth, tc, d_pad), jnp.float32),
         hist=tuple(jnp.zeros((S, tc), jnp.float32) for _ in range(n_track)),
     )
+    if trace:
+        state0["trace"] = tuple(
+            jnp.zeros((trace, tc), jnp.float32) for _ in TRACE_COLS
+        )
+        t_srow = jax.lax.broadcasted_iota(jnp.int32, (trace, tc), 0)
     keys = list(state0.keys())
 
-    def leaf_step(_, carry):
+    def leaf_step(it, carry):
         s = dict(zip(keys, carry))
+        # boolean flags ride the carry as f32 0/1 (i1 vector loop carries
+        # fail scf.for legalization); local views are bool
+        s["done"] = s["done"] > 0.5
+        s["div"] = s["div"] > 0.5
+        s["turn"] = s["turn"] > 0.5
         live = s["steps"] < S
 
         # ---- inline restart: chains that closed start the next one ----
@@ -227,8 +328,8 @@ def _nuts_kernel(
         ]:
             s[name] = sel(start, fresh, s[name])
         for name, fresh in [
-            ("prop_w", zero_s), ("prop_slpa", jnp.full((tc, 1), -jnp.inf)),
-            ("sub_w", zero_s), ("sub_slpa", jnp.full((tc, 1), -jnp.inf)),
+            ("prop_w", zero_s), ("prop_slpa", neg_inf_col),
+            ("sub_w", zero_s), ("sub_slpa", neg_inf_col),
             ("h0", h0_new),
         ]:
             s[name] = sel(start, fresh, s[name])
@@ -256,7 +357,7 @@ def _nuts_kernel(
         new_x = cur_x + d_eps * (imm * m_half)
         new_g = grad_tile(new_x, mask, *params)
         new_m = m_half + 0.5 * d_eps * new_g
-        new_ld = logdensity_tile(new_x, mask, *params)[:, None]
+        new_ld = ld_col(new_x)
 
         energy = -new_ld + kinetic(new_m)
         delta = s["h0"] - energy
@@ -366,6 +467,28 @@ def _nuts_kernel(
             for k in range(n_track):
                 hist[k] = jnp.where(write_row, rows[2 + k : 3 + k], hist[k])
 
+        if trace:
+            f = lambda b: jnp.where(b, jnp.float32(1), jnp.float32(0))
+            ltau = jnp.sum(
+                new_x * (lane == 0).astype(jnp.float32), axis=1, keepdims=True
+            )
+            tcols = dict(
+                start=f(start), at_start=f(at_start), direction=direction,
+                depth=depth.astype(jnp.float32), leaf=leaf_out.astype(jnp.float32),
+                delta=delta, u_leaf=u_leaf, take=f(take), sub_w=sub_w,
+                u_prop=u_prop, take_traj=f(take_traj), prop_w=prop_w,
+                closing=f(closing), done_new=f(done_new), energy=energy,
+                h0=s["h0"], ltau=ltau, aborted=f(aborted),
+            )
+            rows = to_rows(
+                jnp.concatenate([tcols[k] for k in TRACE_COLS], axis=1)
+            )  # (len(TRACE_COLS), tc)
+            row_mask = t_srow == it
+            s["trace"] = tuple(
+                jnp.where(row_mask, rows[k : k + 1], s["trace"][k])
+                for k in range(len(TRACE_COLS))
+            )
+
         s.update(
             cur_x=new_x, cur_m=new_m, cur_g=new_g, cur_ld=new_ld,
             left_x=left_x, left_m=left_m, left_g=left_g, left_ld=left_ld,
@@ -376,19 +499,48 @@ def _nuts_kernel(
             sub_x=sub_x, sub_g=sub_g, sub_ld=sub_ld,
             sub_w=sub_w, sub_slpa=sub_slpa,
             direction=direction, depth=depth, leaf=leaf_out, nstates=nstates,
-            div=div, turn=turn, done=done_new | s["done"],
+            div=jnp.where(div, 1.0, 0.0) + zero_s,
+            turn=jnp.where(turn, 1.0, 0.0) + zero_s,
+            done=jnp.where(done_new | s["done"], 1.0, 0.0) + zero_s,
             steps=steps, acc_x=acc_x, acc_g=acc_g, acc_ld=acc_ld,
             hist=tuple(hist),
         )
         return tuple(s[k] for k in keys)
 
+    if "exit" in disable or trace:
+        # no early exit: one flat loop over the full budget (tracing needs
+        # the global iteration index)
+        carry = jax.lax.fori_loop(
+            0, budget, leaf_step, tuple(state0[k] for k in keys)
+        )
+        final = dict(zip(keys, carry))
+        xacc_ref[:] = final["acc_x"]
+        steps_ref[:] = final["steps"]
+        grads_ref[:] = final["grads"]
+        for k in range(n_track):
+            hist_refs[k][:] = final["hist"][k]
+        if trace:
+            for k in range(len(TRACE_COLS)):
+                trace_refs[k][:] = final["trace"][k]
+        return
+
     def chunk_body(c, carry):
-        # skip whole chunks once the tile is finished (predicated, cheap)
+        # skip whole chunks once the tile is finished. The all-done scalar
+        # rides an MXU reduction: Mosaic cannot relayout an int (tc, 1)
+        # column to a replicated scalar directly
         steps_now = carry[keys.index("steps")]
+        left = jnp.where(steps_now < S, jnp.float32(1), jnp.float32(0))
+        remaining = jax.lax.dot_general(
+            jnp.ones((1, tc), jnp.float32),
+            left,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+        )  # (1, 1)
         return jax.lax.cond(
-            jnp.all(steps_now >= S),
-            lambda cr: cr,
+            remaining[0, 0] > 0.5,
             lambda cr: jax.lax.fori_loop(0, chunk, leaf_step, cr),
+            lambda cr: cr,
             carry,
         )
 
@@ -420,6 +572,7 @@ def fused_nuts_run(
     divergence_threshold: float = 1000.0,
     interpret: bool = False,
     debug: bool = False,
+    trace: int = 0,
 ):
     """Run ``num_steps`` NUTS transitions per chain entirely on-chip.
 
@@ -477,6 +630,7 @@ def fused_nuts_run(
         disable=tuple(
             f for f in os.environ.get("FNUTS_DISABLE", "").split(",") if f
         ),
+        trace=trace,
     )
 
     tile_spec = pl.BlockSpec(
@@ -504,10 +658,28 @@ def fused_nuts_run(
         )
         for _ in range(num_track)
     ]
+    if trace:
+        out_shapes += [
+            jax.ShapeDtypeStruct((trace, c_pad), jnp.float32)
+            for _ in TRACE_COLS
+        ]
+        out_specs += [
+            pl.BlockSpec(
+                (trace, tile_chains), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+            for _ in TRACE_COLS
+        ]
 
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
+        # the whole machine state lives on the scoped-vmem stack; the
+        # default 16 MiB limit caps tile_chains at 128 (measured: 17.6 MiB
+        # at 256x128). v5e has 128 MiB VMEM; leave headroom for I/O
+        # double-buffering.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
         out_shape=out_shapes,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -527,11 +699,18 @@ def fused_nuts_run(
         *padded_params,
     )
     acc_x, steps, grads = outs[0], outs[1], outs[2]
-    hist = outs[3:]
+    hist = outs[3 : 3 + num_track]
     history = jnp.stack([h[:, :C] for h in hist], axis=-1).transpose(1, 0, 2)
-    return (
+    result = (
         acc_x[:C, :d],
         history,  # (C, num_steps, num_track)
         jnp.sum(grads[:C]),
         steps[:C, 0],
     )
+    if trace:
+        traces = {
+            name: t[:, :C]
+            for name, t in zip(TRACE_COLS, outs[3 + num_track :])
+        }
+        return result + (traces,)
+    return result
