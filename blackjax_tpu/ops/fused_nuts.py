@@ -175,6 +175,13 @@ def _nuts_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (tc, 1), 0)
         + pl.program_id(0) * tc
     )  # (tc, 1) global chain ids
+    # lane-replicated global chain ids for the RNG counter: pure iota — free,
+    # exact, and hoisted here because pl.program_id only resolves at the
+    # kernel's top level (the interpret-mode loop body can't lower it)
+    chain_full = (
+        jax.lax.broadcasted_iota(jnp.int32, (tc, d_pad), 0)
+        + pl.program_id(0) * tc
+    )
     # history rows in f32: Mosaic cannot lane-relayout int/bool (tc,1)
     # columns, so the row match runs in exact small-int float arithmetic
     srow = jax.lax.broadcasted_iota(jnp.int32, (S, tc), 0).astype(jnp.float32)
@@ -192,7 +199,7 @@ def _nuts_kernel(
             eye_tc,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     def dot_d(a, b):
@@ -207,24 +214,37 @@ def _nuts_kernel(
 
     ones_row = jnp.ones((1, d_pad), jnp.float32)
 
-    def bcol(col_f32):
+    def bcol(col_f32, precision=jax.lax.Precision.DEFAULT):
         """(tc, 1) f32 column -> (tc, d_pad) lane-replicated, via an MXU
         outer product (Mosaic has no lane-broadcast relayout for columns
-        that were not born from a lane reduction)."""
+        that were not born from a lane reduction).
+
+        PRECISION MATTERS: the default MXU pass truncates inputs to bf16
+        (8 mantissa bits). That is EXACT for 0/1 predicates and +-1
+        directions — the only things broadcast at DEFAULT — and silently
+        corrupting for anything else (measured: bf16-rounded RNG counters
+        correlated momentum draws across chains and broke stationarity).
+        Broadcast real values with ``precision=HIGH`` (bf16x3, exact for
+        ints < 2^21) or ``HIGHEST``."""
         return jax.lax.dot_general(
             col_f32,
             ones_row,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
 
-    def sel(pred, a, b):
+    def f01(pred):
+        return jnp.where(pred, jnp.float32(1), jnp.float32(0))
+
+    def sel(pred, a, b, predf=None):
         """Select with a (tc, 1) boolean; (tc, d_pad) operands get the
-        predicate lane-replicated through :func:`bcol` first."""
+        predicate lane-replicated through :func:`bcol` first. Pass
+        ``predf`` (= ``bcol(f01(pred))``) to reuse one broadcast across
+        many selects on the same predicate."""
         if a.ndim == 2 and a.shape[-1] == d_pad:
-            predf = bcol(jnp.where(pred, jnp.float32(1), jnp.float32(0)))
-            return jnp.where(predf > 0.5, a, b)
+            pf = bcol(f01(pred)) if predf is None else predf
+            return jnp.where(pf > 0.5, a, b)
         return jnp.where(pred, a, b)
 
     def ld_col(x):
@@ -290,12 +310,17 @@ def _nuts_kernel(
 
         # ---- inline restart: chains that closed start the next one ----
         start = s["done"] & live
+        startf = bcol(f01(start))
         base_c0 = chain_g * S + s["steps"]  # (tc,1) per-(chain, step) id
         # momentum noise: Box-Muller on threefry keyed (lane; tag | base).
-        # base = chain*S + step < 2^20 is f32-exact, so the (tc, d_pad)
-        # replication can ride the MXU outer product (bcol); the lane index
-        # comes from a 2-D iota directly — no integer lane broadcast anywhere
-        base_full = bcol(base_c0.astype(jnp.float32)).astype(jnp.int32)
+        # The chain part of the counter comes from the hoisted 2-D iota
+        # (free, exact); only the steps column rides the MXU broadcast — at
+        # HIGHEST precision (Mosaic supports only DEFAULT and HIGHEST),
+        # exact for ints < 2^24
+        steps_full = bcol(
+            s["steps"].astype(jnp.float32), precision=jax.lax.Precision.HIGHEST
+        ).astype(jnp.int32)
+        base_full = chain_full * S + steps_full
         lane_full = jax.lax.broadcasted_iota(jnp.int32, (tc, d_pad), 1)
         b1, b2 = _threefry2x32(
             jnp.uint32(seed),
@@ -326,7 +351,7 @@ def _nuts_kernel(
             ("prop_x", s["acc_x"]), ("prop_g", s["acc_g"]), ("prop_ld", s["acc_ld"]),
             ("sub_x", s["acc_x"]), ("sub_g", s["acc_g"]), ("sub_ld", s["acc_ld"]),
         ]:
-            s[name] = sel(start, fresh, s[name])
+            s[name] = sel(start, fresh, s[name], predf=startf)
         for name, fresh in [
             ("prop_w", zero_s), ("prop_slpa", neg_inf_col),
             ("sub_w", zero_s), ("sub_slpa", neg_inf_col),
@@ -347,9 +372,14 @@ def _nuts_kernel(
         new_dir = jnp.where(u_dir < 0.5, -1.0, 1.0)
         direction = sel(at_start, new_dir, s["direction"])
         fwd = direction > 0.0
-        cur_x = sel(at_start, sel(fwd, s["right_x"], s["left_x"]), s["cur_x"])
-        cur_m = sel(at_start, sel(fwd, s["right_m"], s["left_m"]), s["cur_m"])
-        cur_g = sel(at_start, sel(fwd, s["right_g"], s["left_g"]), s["cur_g"])
+        at_startf = bcol(f01(at_start))
+        fwdf = bcol(f01(fwd))
+        cur_x = sel(at_start, sel(fwd, s["right_x"], s["left_x"], fwdf),
+                    s["cur_x"], at_startf)
+        cur_m = sel(at_start, sel(fwd, s["right_m"], s["left_m"], fwdf),
+                    s["cur_m"], at_startf)
+        cur_g = sel(at_start, sel(fwd, s["right_g"], s["left_g"], fwdf),
+                    s["cur_g"], at_startf)
 
         # ---- one leapfrog (velocity verlet, diag metric) ---------------
         d_eps = bcol(direction) * eps  # (tc, d_pad), lane-replicated
@@ -372,12 +402,15 @@ def _nuts_kernel(
         take = (u_leaf < p_acc) & active
         merged_w = jnp.logaddexp(s["sub_w"], leaf_w)
         merged_slpa = jnp.logaddexp(s["sub_slpa"], leaf_slpa)
-        sub_x = sel(at_start, new_x, sel(take, new_x, s["sub_x"]))
-        sub_g = sel(at_start, new_g, sel(take, new_g, s["sub_g"]))
+        takef = bcol(f01(take))
+        sub_x = sel(at_start, new_x, sel(take, new_x, s["sub_x"], takef),
+                    predf=at_startf)
+        sub_g = sel(at_start, new_g, sel(take, new_g, s["sub_g"], takef),
+                    predf=at_startf)
         sub_ld = sel(at_start, new_ld, sel(take, new_ld, s["sub_ld"]))
         sub_w = sel(at_start, leaf_w, merged_w)
         sub_slpa = sel(at_start, leaf_slpa, merged_slpa)
-        sub_msum = sel(at_start, new_m, s["sub_msum"] + new_m)
+        sub_msum = sel(at_start, new_m, s["sub_msum"] + new_m, predf=at_startf)
 
         # ---- checkpoint slots ------------------------------------------
         leaf_i = s["leaf"]
@@ -391,8 +424,9 @@ def _nuts_kernel(
         subtree_turning = fbool
         for i in range(0 if "ckpt" in disable else max_depth):
             w_i = (is_even & (idx_max == i) & active)  # (tc,1)
-            new_ckpt_m.append(sel(w_i, new_m, ckpt_m[i]))
-            new_ckpt_s.append(sel(w_i, sub_msum, ckpt_s_[i]))
+            wf = bcol(f01(w_i))
+            new_ckpt_m.append(sel(w_i, new_m, ckpt_m[i], predf=wf))
+            new_ckpt_s.append(sel(w_i, sub_msum, ckpt_s_[i], predf=wf))
             chk = (i >= idx_min) & (i <= idx_max) & ~is_even
             subtree_sum = sub_msum - new_ckpt_s[i] + new_ckpt_m[i]
             subtree_turning = subtree_turning | (
@@ -409,14 +443,17 @@ def _nuts_kernel(
         aborted = leaf_div | subtree_turning
         closing = (subtree_complete | aborted) & active
 
-        msum = sel(closing, s["msum"] + sub_msum, s["msum"])
-        left_x = sel(closing & ~fwd, new_x, s["left_x"])
-        left_m = sel(closing & ~fwd, new_m, s["left_m"])
-        left_g = sel(closing & ~fwd, new_g, s["left_g"])
+        closingf = bcol(f01(closing))
+        cbf = bcol(f01(closing & ~fwd))
+        cff = bcol(f01(closing & fwd))
+        msum = sel(closing, s["msum"] + sub_msum, s["msum"], predf=closingf)
+        left_x = sel(closing & ~fwd, new_x, s["left_x"], predf=cbf)
+        left_m = sel(closing & ~fwd, new_m, s["left_m"], predf=cbf)
+        left_g = sel(closing & ~fwd, new_g, s["left_g"], predf=cbf)
         left_ld = sel(closing & ~fwd, new_ld, s["left_ld"])
-        right_x = sel(closing & fwd, new_x, s["right_x"])
-        right_m = sel(closing & fwd, new_m, s["right_m"])
-        right_g = sel(closing & fwd, new_g, s["right_g"])
+        right_x = sel(closing & fwd, new_x, s["right_x"], predf=cff)
+        right_m = sel(closing & fwd, new_m, s["right_m"], predf=cff)
+        right_g = sel(closing & fwd, new_g, s["right_g"], predf=cff)
         right_ld = sel(closing & fwd, new_ld, s["right_ld"])
 
         # trajectory-level proposal merge (biased toward the new subtree);
@@ -426,8 +463,9 @@ def _nuts_kernel(
         take_traj = (u_prop < p_biased) & closing & ~aborted
         merged_pw = jnp.logaddexp(s["prop_w"], sub_w)
         merged_pslpa = jnp.logaddexp(s["prop_slpa"], sub_slpa)
-        prop_x = sel(take_traj, sub_x, s["prop_x"])
-        prop_g = sel(take_traj, sub_g, s["prop_g"])
+        take_trajf = bcol(f01(take_traj))
+        prop_x = sel(take_traj, sub_x, s["prop_x"], predf=take_trajf)
+        prop_g = sel(take_traj, sub_g, s["prop_g"], predf=take_trajf)
         prop_ld = sel(take_traj, sub_ld, s["prop_ld"])
         prop_w = sel(closing, sel(aborted, s["prop_w"], merged_pw), s["prop_w"])
         prop_slpa = sel(closing, merged_pslpa, s["prop_slpa"])
@@ -446,9 +484,10 @@ def _nuts_kernel(
         s["grads"] = s["grads"] + jnp.where(
             just_closed, nstates.astype(jnp.float32), 0.0
         )
+        jcf = bcol(f01(just_closed))
         steps = sel(just_closed, s["steps"] + 1, s["steps"])
-        acc_x = sel(just_closed, prop_x, s["acc_x"])
-        acc_g = sel(just_closed, prop_g, s["acc_g"])
+        acc_x = sel(just_closed, prop_x, s["acc_x"], predf=jcf)
+        acc_g = sel(just_closed, prop_g, s["acc_g"], predf=jcf)
         acc_ld = sel(just_closed, prop_ld, s["acc_ld"])
 
         # one MXU transpose for ALL per-chain columns the write needs
@@ -535,7 +574,6 @@ def _nuts_kernel(
             left,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
         )  # (1, 1)
         return jax.lax.cond(
             remaining[0, 0] > 0.5,
