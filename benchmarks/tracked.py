@@ -358,10 +358,8 @@ def config_cross_chain():
 
         _, grads = run(key, positions)
         jax.block_until_ready(grads)
-        t0 = time.perf_counter()
-        s, grads = run(key, positions)
-        jax.block_until_ready(s)
-        return float(grads) / (time.perf_counter() - t0)
+        elapsed = _timeit(run, key, positions)
+        return float(grads) / elapsed
 
     from blackjax_tpu.adaptation.chees_adaptation import chees_adaptation
 

@@ -316,6 +316,7 @@ def chees_adaptation(
     mass_matrix_window_fraction: float = 0.5,
     _length_floor: bool = False,
     axis_name: Optional[str] = None,
+    integration_unroll: int = 2,
 ) -> AdaptationAlgorithm:
     """Cross-chain ChEES warmup for jittered dynamic HMC.
 
@@ -337,6 +338,12 @@ def chees_adaptation(
     over all chains during the last ``mass_matrix_window_fraction`` of
     warmup, gated on ``max(64, 2 sqrt(d))`` accumulated samples, and whitens
     the ChEES criterion accordingly.
+
+    ``integration_unroll`` blocks the inner trajectory loop (the drawn
+    length is one shared scalar, so the loop's per-iteration dispatch cost
+    dominates the cheap ensemble leapfrog at (chains, d) scale); results
+    are bit-identical for any value — see
+    ``trajectory.static_integration``.
 
     ``_length_floor=True`` (private seam; requires the diagonal metric)
     additionally accumulates the dense ensemble covariance and floors the
@@ -403,6 +410,7 @@ def chees_adaptation(
         step_fn = dynamic_hmc.build_kernel(
             next_random_arg_fn=next_random_arg_fn,
             integration_steps_fn=integration_steps_fn,
+            integration_unroll=integration_unroll,
         )
         init, update = base(
             jitter_gn,

@@ -96,6 +96,7 @@ def build_kernel(
     integration_steps_fn: Callable = _uniform_steps,
     build_proposal: Callable = hmc_proposal,
     max_integration_steps: int = None,
+    integration_unroll: int = 1,
 ):
     """Dynamic-trajectory-length HMC as a lift of the static HMC kernel.
 
@@ -103,12 +104,16 @@ def build_kernel(
     ``integration_steps_fn`` can draw) switches the integration to a masked
     fixed-trip loop — essential when the drawn counts differ per chain
     under vmap (measured 15x on v5e; see
-    ``trajectory.static_integration``)."""
+    ``trajectory.static_integration``). ``integration_unroll`` amortizes the
+    trajectory loop's fixed per-iteration cost when the drawn count is one
+    shared scalar (the ChEES regime) — bit-identical, see
+    ``static_integration``."""
     static_kernel = build_static_hmc_kernel(
         integrator,
         divergence_threshold,
         build_proposal,
         max_num_integration_steps=max_integration_steps,
+        integration_unroll=integration_unroll,
     )
 
     def kernel(

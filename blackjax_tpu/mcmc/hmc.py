@@ -74,6 +74,7 @@ def build_kernel(
     divergence_threshold: float = 1000,
     build_proposal: Callable = None,
     max_num_integration_steps: int = None,
+    integration_unroll: int = 1,
 ):
     """The HMC kernel spine: momentum refresh -> trajectory -> proposal rule.
 
@@ -84,11 +85,11 @@ def build_kernel(
     integration loop for traced per-chain step counts (drawn-length lifts).
     """
     propose = hmc_proposal if build_proposal is None else build_proposal
-    propose_kwargs = (
-        {}
-        if max_num_integration_steps is None
-        else {"max_num_integration_steps": max_num_integration_steps}
-    )
+    propose_kwargs = {}
+    if max_num_integration_steps is not None:
+        propose_kwargs["max_num_integration_steps"] = max_num_integration_steps
+    if integration_unroll != 1:
+        propose_kwargs["integration_unroll"] = integration_unroll
 
     def kernel(
         rng_key: PRNGKey,
@@ -129,6 +130,7 @@ def hmc_proposal(
     *,
     sample_proposal: Callable = static_binomial_sampling,
     max_num_integration_steps: int = None,
+    integration_unroll: int = 1,
 ) -> Callable:
     """Classic endpoint HMC: the proposal is the momentum-flipped end of the
     trajectory; accept with probability ``min(1, exp(H(z0) - H(z1)))``.
@@ -143,7 +145,11 @@ def hmc_proposal(
     def generate(rng_key, head: integrators.IntegratorState):
         tail = flip_momentum(
             roll_forward(
-                head, step_size, num_integration_steps, max_num_integration_steps
+                head,
+                step_size,
+                num_integration_steps,
+                max_num_integration_steps,
+                unroll=integration_unroll,
             )
         )
         h_tail = total_energy(tail)

@@ -166,6 +166,7 @@ def static_integration(integrator: Callable, direction: int = 1) -> Callable:
         step_size,
         num_integration_steps,
         max_num_integration_steps=None,
+        unroll=1,
     ):
         directed = jax.tree.map(lambda s: direction * s, step_size)
         vma_ref = jax.tree.leaves(initial_state.momentum)[0]
@@ -179,12 +180,39 @@ def static_integration(integrator: Callable, direction: int = 1) -> Callable:
             )
 
         if max_num_integration_steps is None:
-            return jax.lax.fori_loop(
-                0,
-                num_integration_steps,
-                lambda _, state: one_step(state),
-                initial_state,
+            if unroll == 1:
+                return jax.lax.fori_loop(
+                    0,
+                    num_integration_steps,
+                    lambda _, state: one_step(state),
+                    initial_state,
+                )
+            # Traced *shared* step count (one scalar for the whole batch —
+            # the ChEES/jittered-HMC regime): a while_loop over blocks of
+            # ``unroll`` masked steps. The trajectory is cheap per step at
+            # ensemble scale (one vmapped leapfrog on (chains, d) is
+            # bandwidth-trivial), so the loop's fixed per-iteration cost
+            # dominates; blocking amortizes it ``unroll``-fold at the price
+            # of at most ``unroll - 1`` discarded integrator steps per
+            # trajectory. Masked steps freeze the carry, so the result is
+            # bit-identical to the sequential loop.
+            n = num_integration_steps
+
+            def block(carry):
+                i, state = carry
+                for j in range(unroll):
+                    new = one_step(state)
+                    state = jax.tree.map(
+                        lambda a, b: jnp.where(i + j < n, a, b), new, state
+                    )
+                return i + unroll, state
+
+            _, final = jax.lax.while_loop(
+                lambda carry: carry[0] < n,
+                block,
+                (jnp.zeros((), jnp.asarray(n).dtype), initial_state),
             )
+            return final
 
         def masked_step(i, state):
             new = one_step(state)
@@ -193,7 +221,11 @@ def static_integration(integrator: Callable, direction: int = 1) -> Callable:
             )
 
         return jax.lax.fori_loop(
-            0, max_num_integration_steps, masked_step, initial_state
+            0,
+            max_num_integration_steps,
+            masked_step,
+            initial_state,
+            unroll=unroll if unroll != 1 else None,
         )
 
     return integrate
