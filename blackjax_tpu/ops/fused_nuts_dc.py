@@ -1,0 +1,617 @@
+"""The continuous NUTS machine as ONE Pallas kernel, TRANSPOSED layout:
+``(dim, chains)`` tiles — dims on sublanes, chains on lanes.
+
+Why a second layout. The original kernel (:mod:`fused_nuts`) puts chains
+on sublanes and dims on lanes, so every per-chain scalar is a ``(tc, 1)``
+column and every select/broadcast against the ``(tc, d_pad)`` state pays
+an MXU outer product ("Mosaic has no lane-broadcast relayout for columns
+not born from a lane reduction") — ~25 serialized MXU ops per machine
+iteration, measured at ~60% of the iteration cost. Transposing the tile
+makes every per-chain scalar a ``(1, T)`` ROW: rows broadcast across
+sublanes natively (a cheap in-register relayout Mosaic fully supports),
+per-chain reductions are axis-0 sums that *produce* rows, and the history
+write needs no MXU transpose because tracked coordinates are sublane
+slices that already are rows. The machine semantics are identical; only
+the data layout changed.
+
+Semantics: the flattened lockstep machine of
+:func:`blackjax_tpu.mcmc.trajectory.flattened_nuts_machine` (one leapfrog
+per iteration, branch-free subtree bookkeeping, checkpointed U-turn
+slots, biased trajectory merge) with the inline restart of the continuous
+runner — one transition ends, the next begins on the following iteration.
+Reference semantics: ``/root/reference/blackjax/mcmc/trajectory.py``
+242-372 (dynamic progressive expansion) re-expressed leaf-at-a-time; see
+``mcmc/trajectory.py`` in this repo for the XLA engine it must match.
+
+Equivalence: DOCUMENTED equivalence, not bit-identity — randomness is
+in-kernel counter-based threefry2x32 keyed on (seed, dim, chain, step,
+depth/leaf, stream), a different stream from JAX's host PRNG. Tests
+compare acceptance, trajectory-length distribution, moments and ESS
+against the XLA path on identical configurations (same protocol as
+``tests/ops/test_fused_nuts.py``).
+"""
+import functools
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blackjax_tpu.ops.fused_leapfrog import _round_up
+from blackjax_tpu.ops.fused_mclmc import _threefry2x32
+from blackjax_tpu.ops.fused_nuts import _counter_uniforms, _popcount8
+
+__all__ = [
+    "TargetKernelDC",
+    "fused_nuts_run_dc",
+    "make_gaussian_target_dc",
+    "make_hierarchical_target_dc",
+]
+
+_LANE = 128
+_SUBLANE = 8
+
+
+@dataclass(frozen=True)
+class TargetKernelDC:
+    """An analytic target in the transposed ``(dim, chains)`` convention.
+
+    ``logdensity_tile(x, mask, *params) -> (1, T)`` and
+    ``grad_tile(x, mask, *params) -> (D, T)`` operate on a padded
+    ``(d_padded, tile_chains)`` block; both must ignore sublanes where
+    ``mask == 0`` and return zero gradient there. ``params`` are
+    ``(d,)``-shaped host vectors, delivered to the tile functions
+    zero-padded and lane-broadcast as ``(d_padded, T)`` VMEM operands.
+    """
+
+    name: str
+    dim: int
+    logdensity_tile: Callable
+    grad_tile: Callable
+    logdensity_fn: Callable
+    params: tuple = ()
+
+    def __hash__(self):  # ride through jit as a static argument
+        return hash((self.name, self.dim, self.params))
+
+
+def make_gaussian_target_dc(dim: int, variances=None) -> TargetKernelDC:
+    """Independent Gaussian ``N(0, diag(variances))``, transposed tiles."""
+    import numpy as np
+
+    if variances is None:
+        inv_var_host = np.ones(dim, np.float32)
+    else:
+        inv_var_host = 1.0 / np.asarray(variances, np.float32)
+    inv_var_param = tuple(float(v) for v in inv_var_host)
+
+    def logdensity_tile(x, mask, inv_var):
+        return -0.5 * jnp.sum(x * x * inv_var * mask, axis=0, keepdims=True)
+
+    def grad_tile(x, mask, inv_var):
+        return -x * inv_var * mask
+
+    def logdensity_fn(x):
+        return -0.5 * jnp.sum(x**2 * jnp.asarray(inv_var_host), axis=-1)
+
+    return TargetKernelDC(
+        name="gaussian_dc",
+        dim=dim,
+        logdensity_tile=logdensity_tile,
+        grad_tile=grad_tile,
+        logdensity_fn=logdensity_fn,
+        params=(inv_var_param,),
+    )
+
+
+def make_hierarchical_target_dc(dim: int) -> TargetKernelDC:
+    """The flagship hierarchical Gaussian, transposed tiles. Unlike the
+    ``(chains, dim)`` twin (``make_mxu_safe_hierarchical_target``) there is
+    nothing to work around: ``log_tau`` is the sublane-0 slice — already a
+    row — and the row-broadcast of ``exp(-log_tau)`` over the gradient is
+    native."""
+    n_theta = dim - 1
+
+    def _masks(x, mask):
+        rowid = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        is_tau = (rowid == 0).astype(x.dtype) * mask
+        theta_mask = mask * (rowid > 0).astype(x.dtype)
+        return is_tau, theta_mask
+
+    def logdensity_tile(x, mask):
+        is_tau, theta_mask = _masks(x, mask)
+        log_tau = jnp.sum(x * is_tau, axis=0, keepdims=True)  # (1, T)
+        theta_sq = jnp.sum((x * theta_mask) ** 2, axis=0, keepdims=True)
+        return (
+            -0.5 * log_tau**2
+            - 0.5 * theta_sq * jnp.exp(-log_tau)
+            - 0.5 * n_theta * log_tau
+        )
+
+    def grad_tile(x, mask):
+        is_tau, theta_mask = _masks(x, mask)
+        log_tau = jnp.sum(x * is_tau, axis=0, keepdims=True)
+        exp_neg = jnp.exp(-log_tau)  # (1, T) row; broadcasts natively
+        theta_sq = jnp.sum((x * theta_mask) ** 2, axis=0, keepdims=True)
+        g_tau = -log_tau + 0.5 * theta_sq * exp_neg - 0.5 * n_theta
+        return is_tau * g_tau - (x * theta_mask) * exp_neg
+
+    def logdensity_fn(x):
+        log_tau = x[..., 0]
+        theta = x[..., 1:]
+        return (
+            -0.5 * log_tau**2
+            - 0.5 * jnp.sum(theta**2, axis=-1) * jnp.exp(-log_tau)
+            - 0.5 * n_theta * log_tau
+        )
+
+    return TargetKernelDC(
+        name="hierarchical_gaussian_dc",
+        dim=dim,
+        logdensity_tile=logdensity_tile,
+        grad_tile=grad_tile,
+        logdensity_fn=logdensity_fn,
+    )
+
+
+def _nuts_kernel_dc(
+    *refs,
+    grad_tile,
+    logdensity_tile,
+    num_steps,
+    budget,
+    chunk,
+    max_depth,
+    d,
+    d_pad,
+    n_params,
+    n_track,
+    divergence_threshold,
+    disable=(),
+):
+    scalars = refs[0]  # SMEM (1,) f32: step_size
+    seed_ref = refs[1]  # SMEM (1,) int32
+    x_ref, imm_ref, sigma_ref = refs[2:5]
+    param_refs = refs[5 : 5 + n_params]
+    out_refs = refs[5 + n_params :]
+    xacc_ref, steps_ref, grads_ref = out_refs[:3]
+    hist_refs = out_refs[3:]
+
+    eps = scalars[0]
+    seed = seed_ref[0]
+    D, T = x_ref.shape
+    S = num_steps
+
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (D, T), 0)
+    mask = (rowid < d).astype(jnp.float32)  # (D, T) dim mask
+    imm = imm_ref[:] * mask  # zero pad sublanes kill all pad traffic
+    sigma_m = sigma_ref[:] * mask
+    params = tuple(p[:] for p in param_refs)
+
+    # lane-replicated global chain ids (pure iota + the grid coordinate)
+    chain_full = (
+        jax.lax.broadcasted_iota(jnp.int32, (D, T), 1) + pl.program_id(0) * T
+    )
+    chain_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) + pl.program_id(0) * T
+    )
+    srow = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)  # history row ids
+
+    def dot_d(a, b):
+        return jnp.sum(a * b, axis=0, keepdims=True)  # (1, T)
+
+    def kinetic(m):
+        return 0.5 * dot_d(m * imm, m)
+
+    def turning(m_left, m_right, m_sum):
+        rho = m_sum - 0.5 * (m_left + m_right)
+        return (dot_d(imm * m_left, rho) <= 0.0) | (
+            dot_d(imm * m_right, rho) <= 0.0
+        )
+
+    # rows broadcast across sublanes natively: select IS jnp.where
+    sel = jnp.where
+
+    def f01(pred):
+        return jnp.where(pred, jnp.float32(1), jnp.float32(0))
+
+    def ld_row(x):
+        ld = logdensity_tile(x, mask, *params)
+        return ld if ld.ndim == 2 else ld[None, :]
+
+    # ---- initial chain state -------------------------------------------
+    x0 = x_ref[:]
+    g0 = grad_tile(x0, mask, *params)
+    ld0 = ld_row(x0)
+
+    zero_v = jnp.zeros((D, T), jnp.float32)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    zero_i = row_iota * 0
+    zero_s = row_iota.astype(jnp.float32) * 0.0
+    fbool = row_iota < 0
+    neg_inf_row = zero_s - jnp.inf
+
+    state0 = dict(
+        acc_x=x0, acc_g=g0, acc_ld=ld0,
+        steps=zero_i,
+        done=zero_s + 1.0,  # f32 flag: forces a start on iteration 0
+        cur_x=x0, cur_m=zero_v, cur_g=g0, cur_ld=ld0,
+        left_x=x0, left_m=zero_v, left_g=g0, left_ld=ld0,
+        right_x=x0, right_m=zero_v, right_g=g0, right_ld=ld0,
+        msum=zero_v, sub_msum=zero_v,
+        prop_x=x0, prop_g=g0, prop_ld=ld0,
+        prop_w=zero_s, prop_slpa=zero_s,
+        sub_x=x0, sub_g=g0, sub_ld=ld0,
+        sub_w=zero_s, sub_slpa=zero_s,
+        h0=zero_s,
+        direction=zero_s + 1.0,
+        depth=zero_i, leaf=zero_i, nstates=zero_i,
+        div=zero_s, turn=zero_s,
+        grads=zero_s,  # per-chain grad-eval counts (summed outside)
+        hist=tuple(jnp.zeros((S, T), jnp.float32) for _ in range(n_track)),
+    )
+    # checkpoint slots as SEPARATE carry entries: stacking them into one
+    # 3-D array per iteration (the cd kernel's choice) copies every slot
+    # every leaf
+    for i in range(max_depth):
+        state0[f"ckpt_m{i}"] = zero_v
+        state0[f"ckpt_s{i}"] = zero_v
+    keys = list(state0.keys())
+
+    def leaf_step(_, carry):
+        s = dict(zip(keys, carry))
+        # boolean flags ride the carry as f32 0/1 (i1 vector loop carries
+        # fail scf.for legalization); local views are bool
+        s["done"] = s["done"] > 0.5
+        s["div"] = s["div"] > 0.5
+        s["turn"] = s["turn"] > 0.5
+        live = s["steps"] < S
+
+        # ---- inline restart: chains that closed start the next one ----
+        start = s["done"] & live
+        base_row = chain_row * S + s["steps"]  # (1, T) per-(chain, step) id
+        base_full = chain_full * S + s["steps"]  # row broadcast: native
+        b1, b2 = _threefry2x32(
+            jnp.uint32(seed),
+            jnp.uint32(0x9E3779B9),
+            rowid.astype(jnp.uint32),
+            (jnp.uint32(1) << jnp.uint32(24)) | base_full.astype(jnp.uint32),
+        )
+        u1 = (
+            (b1 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) + 1.0
+        ) * (2.0**-24)
+        u2 = (b2 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (
+            2.0**-24
+        )
+        fresh_m = (
+            sigma_m
+            * jnp.sqrt(-2.0 * jnp.log(u1))
+            * jnp.cos(6.283185307179586 * u2)
+        )
+
+        h0_new = -s["acc_ld"] + kinetic(fresh_m)
+        for name, fresh in [
+            ("cur_x", s["acc_x"]), ("cur_m", fresh_m), ("cur_g", s["acc_g"]),
+            ("cur_ld", s["acc_ld"]),
+            ("left_x", s["acc_x"]), ("left_m", fresh_m), ("left_g", s["acc_g"]),
+            ("left_ld", s["acc_ld"]),
+            ("right_x", s["acc_x"]), ("right_m", fresh_m), ("right_g", s["acc_g"]),
+            ("right_ld", s["acc_ld"]),
+            ("msum", fresh_m), ("sub_msum", zero_v),
+            ("prop_x", s["acc_x"]), ("prop_g", s["acc_g"]), ("prop_ld", s["acc_ld"]),
+            ("sub_x", s["acc_x"]), ("sub_g", s["acc_g"]), ("sub_ld", s["acc_ld"]),
+        ]:
+            s[name] = sel(start, fresh, s[name])
+        for name, fresh in [
+            ("prop_w", zero_s), ("prop_slpa", neg_inf_row),
+            ("sub_w", zero_s), ("sub_slpa", neg_inf_row),
+            ("h0", h0_new),
+        ]:
+            s[name] = sel(start, fresh, s[name])
+        for name in ["depth", "leaf", "nstates"]:
+            s[name] = sel(start, zero_i, s[name])
+        s["div"] = s["div"] & ~start
+        s["turn"] = s["turn"] & ~start
+        s["done"] = s["done"] & ~start
+
+        active = ~s["done"] & live
+
+        # ---- subtree start: direction draw, register reset -------------
+        at_start = (s["leaf"] == 0) & active
+        u_dir = _counter_uniforms(seed, base_row, 2, s["depth"])
+        new_dir = jnp.where(u_dir < 0.5, -1.0, 1.0)
+        direction = sel(at_start, new_dir, s["direction"])
+        fwd = direction > 0.0
+        cur_x = sel(at_start, sel(fwd, s["right_x"], s["left_x"]), s["cur_x"])
+        cur_m = sel(at_start, sel(fwd, s["right_m"], s["left_m"]), s["cur_m"])
+        cur_g = sel(at_start, sel(fwd, s["right_g"], s["left_g"]), s["cur_g"])
+
+        # ---- one leapfrog (velocity verlet, diag metric) ---------------
+        d_eps = direction * eps  # (1, T) row; broadcasts natively
+        m_half = cur_m + 0.5 * d_eps * cur_g
+        new_x = cur_x + d_eps * (imm * m_half)
+        new_g = grad_tile(new_x, mask, *params)
+        new_m = m_half + 0.5 * d_eps * new_g
+        new_ld = ld_row(new_x)
+
+        energy = -new_ld + kinetic(new_m)
+        delta = s["h0"] - energy
+        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+        leaf_w = delta
+        leaf_slpa = jnp.minimum(delta, 0.0)
+        leaf_div = (-delta > divergence_threshold) & active
+
+        # ---- subtree progressive (uniform) sampling --------------------
+        u_leaf = _counter_uniforms(seed, base_row, 3, s["nstates"])
+        p_acc = jax.nn.sigmoid(leaf_w - s["sub_w"])
+        take = (u_leaf < p_acc) & active
+        merged_w = jnp.logaddexp(s["sub_w"], leaf_w)
+        merged_slpa = jnp.logaddexp(s["sub_slpa"], leaf_slpa)
+        sub_x = sel(at_start, new_x, sel(take, new_x, s["sub_x"]))
+        sub_g = sel(at_start, new_g, sel(take, new_g, s["sub_g"]))
+        sub_ld = sel(at_start, new_ld, sel(take, new_ld, s["sub_ld"]))
+        sub_w = sel(at_start, leaf_w, merged_w)
+        sub_slpa = sel(at_start, leaf_slpa, merged_slpa)
+        sub_msum = sel(at_start, new_m, s["sub_msum"] + new_m)
+
+        # ---- checkpoint slots ------------------------------------------
+        leaf_i = s["leaf"]
+        idx_max = _popcount8(leaf_i >> 1)
+        low_zero_mask = ((~leaf_i) & (leaf_i + 1)) - 1
+        idx_min = idx_max - _popcount8(low_zero_mask) + 1
+        is_even = (leaf_i % 2) == 0
+
+        subtree_turning = fbool
+        for i in range(0 if "ckpt" in disable else max_depth):
+            w_i = is_even & (idx_max == i) & active  # (1, T)
+            ckm = sel(w_i, new_m, s[f"ckpt_m{i}"])
+            cks = sel(w_i, sub_msum, s[f"ckpt_s{i}"])
+            chk = (i >= idx_min) & (i <= idx_max) & ~is_even
+            subtree_sum = sub_msum - cks + ckm
+            subtree_turning = subtree_turning | (
+                chk & turning(ckm, new_m, subtree_sum)
+            )
+            s[f"ckpt_m{i}"] = ckm
+            s[f"ckpt_s{i}"] = cks
+        subtree_turning = subtree_turning & active
+
+        # ---- subtree boundary ------------------------------------------
+        leaf_next = leaf_i + 1
+        subtree_complete = leaf_next >= (1 << s["depth"])
+        aborted = leaf_div | subtree_turning
+        closing = (subtree_complete | aborted) & active
+
+        msum = sel(closing, s["msum"] + sub_msum, s["msum"])
+        left_x = sel(closing & ~fwd, new_x, s["left_x"])
+        left_m = sel(closing & ~fwd, new_m, s["left_m"])
+        left_g = sel(closing & ~fwd, new_g, s["left_g"])
+        left_ld = sel(closing & ~fwd, new_ld, s["left_ld"])
+        right_x = sel(closing & fwd, new_x, s["right_x"])
+        right_m = sel(closing & fwd, new_m, s["right_m"])
+        right_g = sel(closing & fwd, new_g, s["right_g"])
+        right_ld = sel(closing & fwd, new_ld, s["right_ld"])
+
+        # trajectory-level proposal merge (biased toward the new subtree);
+        # an aborted subtree contributes acceptance statistics only
+        u_prop = _counter_uniforms(seed, base_row, 4, s["depth"])
+        p_biased = jnp.minimum(jnp.exp(sub_w - s["prop_w"]), 1.0)
+        take_traj = (u_prop < p_biased) & closing & ~aborted
+        merged_pw = jnp.logaddexp(s["prop_w"], sub_w)
+        merged_pslpa = jnp.logaddexp(s["prop_slpa"], sub_slpa)
+        prop_x = sel(take_traj, sub_x, s["prop_x"])
+        prop_g = sel(take_traj, sub_g, s["prop_g"])
+        prop_ld = sel(take_traj, sub_ld, s["prop_ld"])
+        prop_w = sel(closing, sel(aborted, s["prop_w"], merged_pw), s["prop_w"])
+        prop_slpa = sel(closing, merged_pslpa, s["prop_slpa"])
+
+        full_turn = closing & turning(left_m, right_m, msum)
+
+        depth = sel(closing, s["depth"] + 1, s["depth"])
+        leaf_out = sel(closing, zero_i, leaf_next)
+        div = s["div"] | leaf_div
+        turn = s["turn"] | (closing & (subtree_turning | full_turn))
+        done_new = div | turn | (closing & (depth >= max_depth))
+        nstates = sel(active, s["nstates"] + 1, s["nstates"])
+
+        # ---- transition close ------------------------------------------
+        just_closed = active & done_new
+        s["grads"] = s["grads"] + jnp.where(
+            just_closed, nstates.astype(jnp.float32), 0.0
+        )
+        steps = sel(just_closed, s["steps"] + 1, s["steps"])
+        acc_x = sel(just_closed, prop_x, s["acc_x"])
+        acc_g = sel(just_closed, prop_g, s["acc_g"])
+        acc_ld = sel(just_closed, prop_ld, s["acc_ld"])
+
+        # history write: tracked coordinates are sublane slices — already
+        # rows; the row match is a plain (S, T) compare, no MXU anywhere
+        hist = list(s["hist"])
+        if "hist" not in disable:
+            write_row = (srow == s["steps"]) & (just_closed)  # (S, T)
+            for k in range(n_track):
+                hist[k] = jnp.where(write_row, prop_x[k : k + 1, :], hist[k])
+
+        s.update(
+            cur_x=new_x, cur_m=new_m, cur_g=new_g, cur_ld=new_ld,
+            left_x=left_x, left_m=left_m, left_g=left_g, left_ld=left_ld,
+            right_x=right_x, right_m=right_m, right_g=right_g, right_ld=right_ld,
+            msum=msum, sub_msum=sub_msum,
+            prop_x=prop_x, prop_g=prop_g, prop_ld=prop_ld,
+            prop_w=prop_w, prop_slpa=prop_slpa,
+            sub_x=sub_x, sub_g=sub_g, sub_ld=sub_ld,
+            sub_w=sub_w, sub_slpa=sub_slpa,
+            direction=direction, depth=depth, leaf=leaf_out, nstates=nstates,
+            div=f01(div), turn=f01(turn),
+            done=f01(done_new | s["done"]),
+            steps=steps, acc_x=acc_x, acc_g=acc_g, acc_ld=acc_ld,
+            hist=tuple(hist),
+        )
+        return tuple(s[k] for k in keys)
+
+    if "exit" in disable:
+        carry = jax.lax.fori_loop(
+            0, budget, leaf_step, tuple(state0[k] for k in keys)
+        )
+    else:
+
+        def chunk_body(c, carry):
+            # skip whole chunks once every chain in the tile is finished
+            steps_now = carry[keys.index("steps")]
+            return jax.lax.cond(
+                jnp.min(steps_now) < S,
+                lambda cr: jax.lax.fori_loop(0, chunk, leaf_step, cr),
+                lambda cr: cr,
+                carry,
+            )
+
+        carry = jax.lax.fori_loop(
+            0, budget // chunk, chunk_body, tuple(state0[k] for k in keys)
+        )
+    final = dict(zip(keys, carry))
+
+    xacc_ref[:] = final["acc_x"]
+    steps_ref[:] = final["steps"]
+    grads_ref[:] = final["grads"]
+    for k in range(n_track):
+        hist_refs[k][:] = final["hist"][k]
+
+
+def fused_nuts_run_dc(
+    positions,
+    inverse_mass_matrix,
+    step_size,
+    *,
+    target: TargetKernelDC,
+    num_steps: int,
+    max_num_doublings: int = 8,
+    seed: int = 0,
+    num_track: int = 8,
+    tile_chains: int = 128,
+    budget: int = None,
+    chunk: int = 64,
+    divergence_threshold: float = 1000.0,
+    interpret: bool = False,
+    debug: bool = False,
+):
+    """Run ``num_steps`` NUTS transitions per chain entirely on-chip,
+    transposed ``(dim, chains)`` tiles.
+
+    Same contract as :func:`fused_nuts.fused_nuts_run`: ``positions`` is
+    ``(C, d)`` f32, ``inverse_mass_matrix`` a diagonal ``(d,)``; returns
+    ``(final_positions (C, d), history (C, num_steps, num_track),
+    total_grads, steps (C,))``. ``steps[c] < num_steps`` means the
+    iteration ``budget`` ran out before chain ``c`` finished.
+    """
+    C, d = positions.shape
+    if d != target.dim:
+        raise ValueError(f"positions dim {d} != registered target dim {target.dim}")
+    if num_track > d:
+        raise ValueError(f"num_track={num_track} > dim {d}")
+    d_pad = _round_up(d, _SUBLANE)
+    tile_chains = max(_LANE, _round_up(min(tile_chains, max(C, 1)), _LANE))
+    c_pad = _round_up(C, tile_chains)
+    n_tiles = c_pad // tile_chains
+    if budget is None:
+        budget = 32 * num_steps
+    budget = _round_up(budget, chunk)
+
+    x = jnp.pad(
+        positions.astype(jnp.float32).T, ((0, d_pad - d), (0, c_pad - C))
+    )
+
+    def _row_param(vec):
+        """(d,) host vector -> (d_pad, T) lane-broadcast VMEM operand."""
+        v = jnp.pad(jnp.asarray(vec, jnp.float32), (0, d_pad - len(vec)))
+        return jnp.broadcast_to(v[:, None], (d_pad, tile_chains))
+
+    imm_vec = jnp.broadcast_to(
+        jnp.asarray(inverse_mass_matrix, jnp.float32), (d,)
+    )
+    imm = _row_param(imm_vec)
+    sigma = _row_param(
+        jnp.sqrt(jnp.where(imm_vec > 0.0, 1.0 / jnp.where(imm_vec > 0.0, imm_vec, 1.0), 0.0))
+    )
+    padded_params = tuple(_row_param(jnp.asarray(p, jnp.float32)) for p in target.params)
+
+    kernel = functools.partial(
+        _nuts_kernel_dc,
+        grad_tile=target.grad_tile,
+        logdensity_tile=target.logdensity_tile,
+        num_steps=num_steps,
+        budget=budget,
+        chunk=chunk,
+        max_depth=max_num_doublings,
+        d=d,
+        d_pad=d_pad,
+        n_params=len(padded_params),
+        n_track=num_track,
+        divergence_threshold=divergence_threshold,
+        disable=tuple(
+            f for f in os.environ.get("FNUTS_DISABLE", "").split(",") if f
+        ),
+    )
+
+    tile_spec = pl.BlockSpec(
+        (d_pad, tile_chains), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    rep_spec = pl.BlockSpec(
+        (d_pad, tile_chains), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    row_spec = pl.BlockSpec(
+        (1, tile_chains), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((d_pad, c_pad), jnp.float32),  # acc_x
+        jax.ShapeDtypeStruct((1, c_pad), jnp.int32),  # steps
+        jax.ShapeDtypeStruct((1, c_pad), jnp.float32),  # grads per chain
+    ] + [
+        jax.ShapeDtypeStruct((num_steps, c_pad), jnp.float32)
+        for _ in range(num_track)
+    ]
+    out_specs = [tile_spec, row_spec, row_spec] + [
+        pl.BlockSpec(
+            (num_steps, tile_chains), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        for _ in range(num_track)
+    ]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        # the whole machine state lives on the scoped-vmem stack; leave
+        # room above the default 16 MiB (v5e has 128 MiB physical VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile_spec,
+            rep_spec,
+            rep_spec,
+        ]
+        + [rep_spec] * len(padded_params),
+        out_specs=out_specs,
+        interpret=interpret,
+        debug=debug,
+    )(
+        jnp.array([step_size], jnp.float32),
+        jnp.array([seed], jnp.int32),
+        x,
+        imm,
+        sigma,
+        *padded_params,
+    )
+    acc_x, steps, grads = outs[0], outs[1], outs[2]
+    hist = outs[3 : 3 + num_track]
+
+    final_positions = acc_x.T[:C, :d]
+    # history: (num_track, S, c_pad) -> (C, S, num_track)
+    history = jnp.stack(hist, axis=-1)[:, :C, :].transpose(1, 0, 2)
+    total_grads = jnp.sum(grads[0, :C])
+    return final_positions, history, total_grads, steps[0, :C]
