@@ -181,6 +181,46 @@ def bench_ours_fused(rng_key, step_size, imm):
     return elapsed, np.asarray(hist).swapaxes(0, 1), int(grads)
 
 
+def bench_ours_pallas(rng_key, step_size, imm):
+    """The in-kernel continuous machine (Pallas, transposed (dim, chains)
+    layout): the whole NUTS machine VMEM-resident, one leapfrog per
+    iteration, inline restarts. Documented statistical equivalence with
+    the XLA engine (independent counter-based RNG stream) — see
+    ``ops/fused_nuts_dc.py`` and ``tests/ops/test_fused_nuts_dc.py``.
+    Returns (elapsed, hist (steps, chains, k), grads, completed_steps)."""
+    from blackjax_tpu.ops.fused_nuts_dc import (
+        fused_nuts_run_dc,
+        make_hierarchical_target_dc,
+    )
+
+    target = make_hierarchical_target_dc(DIM)
+    init_keys = jax.random.split(rng_key, NUM_CHAINS)
+    positions = 0.5 * jax.vmap(lambda k: jax.random.normal(k, (DIM,)))(init_keys)
+    run = jax.jit(
+        lambda x: fused_nuts_run_dc(
+            x,
+            jnp.asarray(imm),
+            step_size,
+            target=target,
+            num_steps=NUM_STEPS,
+            max_num_doublings=MAX_DOUBLINGS,
+            seed=7,
+            num_track=TRACKED_DIMS,
+            tile_chains=128,
+            budget=64 * NUM_STEPS,
+            chunk=128,
+        )
+    )
+    out = run(positions)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    fx, hist, grads, steps = run(positions)
+    jax.block_until_ready(hist)
+    elapsed = time.perf_counter() - t0
+    completed = int(np.min(np.asarray(steps)))
+    return elapsed, np.asarray(hist).swapaxes(0, 1), int(grads), completed
+
+
 def bench_reference(rng_key, step_size, imm):
     sys.path.insert(0, "/root/reference")
     # the reference's generated version module is absent from its source
@@ -213,12 +253,47 @@ def main():
 
     step_size, imm = _warmup_params(warm_key)
 
-    # headline: the continuous (fused) runner — the production path;
+    # the continuous (fused) runner — the general-purpose production path;
     # bit-identical samples to the per-step kernel scan
     elapsed, hist, grad_evals = bench_ours_fused(run_key, step_size, imm)
     ess = _ess_per_dim(hist)
-    ours_ess_per_sec = ess / elapsed
-    grad_evals_per_sec = grad_evals / elapsed
+    runner_ess_per_sec = ess / elapsed
+    runner_grads_per_sec = grad_evals / elapsed
+
+    # the in-kernel Pallas machine (registered analytic targets): headline
+    # when it wins and completes; statistically equivalent, own RNG stream
+    pallas = None
+    if ON_TPU and os.environ.get("BENCH_PALLAS", "1") == "1":
+        try:
+            p_elapsed, p_hist, p_grads, p_done = bench_ours_pallas(
+                run_key, step_size, imm
+            )
+            if p_done >= NUM_STEPS:
+                pallas = {
+                    "min_ess": _ess_per_dim(p_hist),
+                    "elapsed": p_elapsed,
+                    "grads": p_grads,
+                }
+            else:
+                print(
+                    f"pallas path: budget exhausted ({p_done}/{NUM_STEPS})",
+                    file=sys.stderr,
+                )
+        except Exception as exc:  # pragma: no cover - robustness
+            print(f"pallas path failed: {exc}", file=sys.stderr)
+
+    if pallas and pallas["min_ess"] / pallas["elapsed"] > runner_ess_per_sec:
+        engine = "pallas-dc"
+        ours_ess_per_sec = pallas["min_ess"] / pallas["elapsed"]
+        grad_evals_per_sec = pallas["grads"] / pallas["elapsed"]
+        headline_ess = pallas["min_ess"]
+        headline_elapsed = pallas["elapsed"]
+    else:
+        engine = "xla-runner"
+        ours_ess_per_sec = runner_ess_per_sec
+        grad_evals_per_sec = runner_grads_per_sec
+        headline_ess = ess
+        headline_elapsed = elapsed
 
     # secondary: the per-step kernel path (same ESS; lockstep per step)
     k_elapsed, _, k_grads = bench_ours(run_key, step_size, imm)
@@ -276,11 +351,18 @@ def main():
                 "value": round(ours_ess_per_sec, 3),
                 "unit": "ESS/sec",
                 "vs_baseline": round(vs_baseline, 3) if baseline else None,
+                "engine": engine,
                 "grad_evals_per_sec": round(grad_evals_per_sec, 1),
+                "runner_ess_per_sec": round(runner_ess_per_sec, 3),
+                "runner_grads_per_sec": round(runner_grads_per_sec, 1),
+                "runner_min_ess": round(ess, 1),
+                "pallas_min_ess": (
+                    round(pallas["min_ess"], 1) if pallas else None
+                ),
                 "kernel_path_ess_per_sec": round(kernel_ess_per_sec, 3),
                 "kernel_path_grads_per_sec": round(kernel_grads_per_sec, 1),
-                "min_ess": round(ess, 1),
-                "elapsed_sec": round(elapsed, 3),
+                "min_ess": round(headline_ess, 1),
+                "elapsed_sec": round(headline_elapsed, 3),
                 "step_size": round(step_size, 5),
                 "device": str(device.device_kind),
                 "baseline_ess_per_sec": (
