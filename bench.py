@@ -208,7 +208,7 @@ def bench_ours_pallas(rng_key, step_size, imm):
             num_track=TRACKED_DIMS,
             tile_chains=128,
             budget=64 * NUM_STEPS,
-            chunk=128,
+            chunk=256,
         )
     )
     out = run(positions)
