@@ -1,0 +1,196 @@
+"""End-to-end warmup+sampling sweep on a realistic Bayesian linear-regression
+posterior with a pytree position ({log_scale, coefs}) — the reference's core
+e2e scenario (``tests/mcmc/test_sampling.py`` LinearRegressionTest): window
+adaptation across algorithms and metric structures, pathfinder adaptation,
+MCLMC, and ChEES on the same model.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import blackjax_tpu
+from blackjax_tpu.util import run_inference_algorithm
+
+N_DATA = 200
+W_TRUE = np.array([1.0, -2.0, 0.5])
+SIGMA_TRUE = 0.5
+
+
+def _make_problem():
+    key = jax.random.key(20260817)
+    x_key, n_key = jax.random.split(key)
+    X = jax.random.normal(x_key, (N_DATA, 3))
+    y = X @ jnp.asarray(W_TRUE) + SIGMA_TRUE * jax.random.normal(n_key, (N_DATA,))
+
+    def logposterior(position):
+        log_scale, coefs = position["log_scale"], position["coefs"]
+        sigma = jnp.exp(log_scale)
+        logprior = -0.5 * log_scale**2 - 0.5 * jnp.sum(coefs**2) / 10.0
+        resid = y - X @ coefs
+        loglik = jnp.sum(
+            -0.5 * (resid / sigma) ** 2 - log_scale - 0.5 * jnp.log(2 * jnp.pi)
+        )
+        return logprior + loglik
+
+    init_position = {"log_scale": jnp.zeros(()), "coefs": jnp.zeros(3)}
+    return logposterior, init_position
+
+
+def _check_posterior(positions_history, burn=200):
+    coefs = np.asarray(positions_history["coefs"])[burn:]
+    scale = np.exp(np.asarray(positions_history["log_scale"])[burn:])
+    # flatten any chain axes
+    coefs = coefs.reshape(-1, 3)
+    np.testing.assert_allclose(coefs.mean(0), W_TRUE, atol=0.15)
+    np.testing.assert_allclose(scale.mean(), SIGMA_TRUE, atol=0.1)
+
+
+ALGORITHMS = {
+    "nuts": (blackjax_tpu.nuts, {}),
+    "hmc": (blackjax_tpu.hmc, {"num_integration_steps": 20}),
+}
+
+
+@pytest.mark.parametrize("diagonal", [True, False], ids=["diag", "dense"])
+@pytest.mark.parametrize("name", list(ALGORITHMS))
+def test_window_adaptation_regression(name, diagonal, rng_key):
+    logposterior, init_position = _make_problem()
+    algorithm, extra = ALGORITHMS[name]
+    warm_key, run_key = jax.random.split(rng_key)
+    warmup = blackjax_tpu.window_adaptation(
+        algorithm, logposterior, is_mass_matrix_diagonal=diagonal, **extra
+    )
+    (state, parameters), _ = warmup.run(warm_key, init_position, num_steps=400)
+    imm = parameters["inverse_mass_matrix"]
+    assert imm.ndim == (1 if diagonal else 2)
+    assert imm.shape[-1] == 4  # raveled pytree: log_scale + 3 coefs
+    # the returned parameters already fold in the extra kwargs
+    inference = algorithm(logposterior, **parameters)
+    _, (states, _) = run_inference_algorithm(
+        run_key, inference, 800, initial_state=state
+    )
+    _check_posterior(states.position)
+
+
+@pytest.mark.parametrize("name", list(ALGORITHMS))
+def test_pathfinder_adaptation_regression(name, rng_key):
+    logposterior, init_position = _make_problem()
+    algorithm, extra = ALGORITHMS[name]
+    warm_key, run_key = jax.random.split(rng_key)
+    warmup = blackjax_tpu.pathfinder_adaptation(algorithm, logposterior, **extra)
+    (state, parameters), _ = warmup.run(warm_key, init_position, num_steps=300)
+    assert parameters["inverse_mass_matrix"].shape == (4, 4)
+    inference = algorithm(logposterior, **parameters)
+    _, (states, _) = run_inference_algorithm(
+        run_key, inference, 800, initial_state=state
+    )
+    _check_posterior(states.position)
+
+
+def test_mclmc_regression(rng_key):
+    from blackjax_tpu.mcmc import mclmc as mclmc_mod
+
+    logposterior, init_position = _make_problem()
+    init_key, tune_key, run_key = jax.random.split(rng_key, 3)
+    state = mclmc_mod.init(init_position, logposterior, init_key)
+    state, params, _ = blackjax_tpu.mclmc_find_L_and_step_size(
+        mclmc_mod.build_kernel(), 2000, state, tune_key, logdensity_fn=logposterior
+    )
+    algo = blackjax_tpu.mclmc(
+        logposterior,
+        L=params.L,
+        step_size=params.step_size,
+        inverse_mass_matrix=params.inverse_mass_matrix,
+    )
+    _, (states, _) = run_inference_algorithm(run_key, algo, 4000, initial_state=state)
+    _check_posterior(states.position, burn=1000)
+
+
+def test_chees_regression_pytree_position(rng_key):
+    """ChEES cross-chain warmup on the pytree position (the reference
+    validates ChEES on pytree models; the ensemble axis rides each leaf)."""
+    logposterior, init_position = _make_problem()
+    num_chains = 32
+    warm_key, init_key, run_key = jax.random.split(rng_key, 3)
+    positions = jax.tree.map(
+        lambda x: x
+        + 0.5 * jax.random.normal(jax.random.fold_in(init_key, x.ndim), (num_chains, *x.shape)),
+        init_position,
+    )
+    warmup = blackjax_tpu.chees_adaptation(logposterior, num_chains)
+    (last_states, parameters), _ = warmup.run(
+        warm_key, positions, 0.05, optax.adam(0.25), 400
+    )
+    assert np.isfinite(float(parameters["step_size"]))
+    kernel = blackjax_tpu.dynamic_hmc(logposterior, **parameters).step
+
+    def one_step(states, key):
+        keys = jax.random.split(key, num_chains)
+        states, _ = jax.vmap(kernel)(keys, states)
+        return states, states.position
+
+    _, trace = jax.lax.scan(one_step, last_states, jax.random.split(run_key, 400))
+    _check_posterior(trace, burn=150)
+
+
+def test_meads_regression_pytree_position(rng_key):
+    """MEADS + GHMC on the learned-scale regression, including the fold
+    structure: at step t fold ``t mod K`` is frozen, so its chains keep
+    their positions. Note the exponential prior on the scale — a Gaussian
+    prior on log_scale leaves a flat large-sigma plateau that traps the
+    GHMC ensemble (measured: step_size collapses to ~3e-6 and every chain
+    strands at logdensity ~ -1e4); the exponential prior (as in the
+    reference's regression model) suppresses that plateau."""
+    key = jax.random.key(20260817)
+    x_key, n_key = jax.random.split(key)
+    X = jax.random.normal(x_key, (N_DATA, 3))
+    y = X @ jnp.asarray(W_TRUE) + SIGMA_TRUE * jax.random.normal(n_key, (N_DATA,))
+
+    def logposterior(position):
+        log_scale, coefs = position["log_scale"], position["coefs"]
+        scale = jnp.exp(log_scale)
+        logprior = -scale + log_scale - 0.5 * jnp.sum(coefs**2) / 25.0
+        resid = y - X @ coefs
+        return logprior + jnp.sum(-0.5 * (resid / scale) ** 2 - log_scale)
+
+    num_chains, num_folds = 128, 4
+    n_per_fold = num_chains // num_folds
+    warm_key, init_key, run_key = jax.random.split(rng_key, 3)
+    k1, k2 = jax.random.split(init_key)
+    positions = {
+        "log_scale": 1.0 + jax.random.normal(k1, (num_chains,)),
+        "coefs": jax.random.normal(k2, (num_chains, 3)),
+    }
+    warmup = blackjax_tpu.meads_adaptation(logposterior, num_chains, num_folds=num_folds)
+    (last_states, parameters), warmup_info = warmup.run(
+        warm_key, positions, num_steps=1000
+    )
+
+    # fold freezing: fold 0 is frozen at step 0 (positions unchanged from
+    # the initial ensemble), fold 1 at step 1 (unchanged from step 0)
+    trace0 = np.asarray(warmup_info.state.position["coefs"])
+    np.testing.assert_array_equal(
+        trace0[0, :n_per_fold], np.asarray(positions["coefs"][:n_per_fold])
+    )
+    np.testing.assert_array_equal(
+        trace0[1, n_per_fold : 2 * n_per_fold],
+        trace0[0, n_per_fold : 2 * n_per_fold],
+    )
+
+    kernel = blackjax_tpu.ghmc(logposterior, **parameters).step
+
+    def one_step(states, key):
+        keys = jax.random.split(key, num_chains)
+        states, _ = jax.vmap(kernel)(keys, states)
+        return states, states.position
+
+    _, trace = jax.lax.scan(one_step, last_states, jax.random.split(run_key, 500))
+    coefs = np.asarray(trace["coefs"])[200:].reshape(-1, 3)
+    scale = np.exp(np.asarray(trace["log_scale"])[200:])
+    np.testing.assert_allclose(coefs.mean(0), W_TRUE, atol=0.15)
+    # a straggler chain can still sit at large sigma: pin the median
+    assert abs(np.median(scale) - SIGMA_TRUE) < 0.15
