@@ -289,3 +289,199 @@ def test_cgl_update_batch_psum_pooled_matches_global(rng_key):
     _assert_block_close(
         MomentBlock(count, mean, m2), _np_block(np.asarray(rows), False)
     )
+
+
+# -------------------------------------------------------------------------
+# degenerate counts (the step-size proxy must see ones, never 0/NaN)
+# -------------------------------------------------------------------------
+
+
+def test_diag_reference_degenerate_counts(rng_key):
+    buf = reset_window_buffer(D, diagonal=True)
+    state = buf.init()
+    # n = 0 and n = 1: isotropic fallback
+    np.testing.assert_allclose(np.asarray(buf.get_diag_reference(state)), np.ones(D))
+    rows = _rows(rng_key, 3)
+    state = buf.update(state, rows[0])
+    np.testing.assert_allclose(np.asarray(buf.get_diag_reference(state)), np.ones(D))
+    # n = 2: exact Bessel-corrected variance of the two rows
+    state = buf.update(state, rows[1])
+    expected = np.var(np.asarray(rows[:2]), axis=0, ddof=1)
+    np.testing.assert_allclose(
+        np.asarray(buf.get_diag_reference(state)), expected, rtol=RTOL, atol=1e-6
+    )
+    # n = 3: still exact
+    state = buf.update(state, rows[2])
+    expected = np.var(np.asarray(rows), axis=0, ddof=1)
+    np.testing.assert_allclose(
+        np.asarray(buf.get_diag_reference(state)), expected, rtol=RTOL, atol=1e-6
+    )
+
+
+def test_diag_from_moment_block_dense_and_diag_agree(rng_key):
+    rows = _rows(rng_key, 40)
+    dense = diag_from_moment_block(_block_of(rows, diagonal=False))
+    diag = diag_from_moment_block(_block_of(rows, diagonal=True))
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(diag), rtol=RTOL)
+
+
+# -------------------------------------------------------------------------
+# restart and k=1 degeneracies
+# -------------------------------------------------------------------------
+
+
+def test_restart_cycle_matches_fresh_accumulation(rng_key):
+    """Two full push_split cycles on the Stan reset-window buffer: after the
+    second reset, moments AND diag reference equal a fresh buffer fed only
+    the final rows."""
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    buf = reset_window_buffer(D)
+    state = buf.init()
+    for r in _rows(k1, 10):
+        state = buf.update(state, r)
+    state = buf.push_split(state)
+    for r in _rows(k2, 7):
+        state = buf.update(state, r)
+    state = buf.push_split(state)
+    final_rows = _rows(k3, 9)
+    for r in final_rows:
+        state = buf.update(state, r)
+
+    fresh = buf.init()
+    for r in final_rows:
+        fresh = buf.update(fresh, r)
+    _assert_block_close(buf.get_moments(state), buf.get_moments(fresh))
+    np.testing.assert_allclose(
+        np.asarray(buf.get_diag_reference(state)),
+        np.asarray(buf.get_diag_reference(fresh)),
+        rtol=RTOL,
+    )
+
+
+def test_ring_k1_returns_single_slot(rng_key):
+    rows = _rows(rng_key, 12)
+    block = _block_of(rows, diagonal=False)
+    merged = merge_block_ring(
+        block.count[None], block.mean[None], block.m2[None]
+    )
+    _assert_block_close(merged, block)
+
+
+def test_accumulating_k1_equals_reset_window(rng_key):
+    """k=1 of the rolling window IS the Stan hard reset: identical moments
+    through a split cycle."""
+    ka, kb = jax.random.split(rng_key)
+    acc = accumulating_split_pop_buffer(D, 1)
+    rst = reset_window_buffer(D)
+    sa, sr = acc.init(), rst.init()
+    for r in _rows(ka, 8):
+        sa, sr = acc.update(sa, r), rst.update(sr, r)
+    sa, sr = acc.push_split(sa), rst.push_split(sr)
+    for r in _rows(kb, 6):
+        sa, sr = acc.update(sa, r), rst.update(sr, r)
+    _assert_block_close(acc.get_moments(sa), rst.get_moments(sr))
+
+
+# -------------------------------------------------------------------------
+# scan-carry stability (buffers live inside lax.scan in the staged engine)
+# -------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "make_buffer",
+    [
+        lambda: reset_window_buffer(D),
+        lambda: reset_window_buffer(D, diagonal=True),
+        lambda: accumulating_split_pop_buffer(D, 3),
+        lambda: ensemble_batch_buffer(D, 4),
+    ],
+    ids=["reset", "reset-diag", "acc3", "ensemble4"],
+)
+def test_buffer_states_are_scan_stable(rng_key, make_buffer):
+    buf = make_buffer()
+    # every policy accepts (batch, d) updates; the ensemble buffer REQUIRES
+    # its declared batch size, so feed 4-row batches uniformly
+    keys = jax.random.split(rng_key, 20)
+    rows = jax.vmap(lambda key: _rows(key, 4))(keys)
+
+    def body(state, row):
+        return buf.update(state, row), None
+
+    scanned, _ = jax.lax.scan(body, buf.init(), rows)
+    sequential = buf.init()
+    for i in range(20):
+        sequential = buf.update(sequential, rows[i])
+    _assert_block_close(buf.get_moments(scanned), buf.get_moments(sequential))
+
+
+# -------------------------------------------------------------------------
+# f32 accuracy golden (run in the x64 pass where the f64 reference exists)
+# -------------------------------------------------------------------------
+
+
+@pytest.mark.x64only
+def test_f32_ring_merge_accuracy_vs_f64(rng_key):
+    """The CGL combination in f32 must track the f64 reference to ~1e-4
+    relative even with a large between-block mean shift (the classic
+    catastrophic-cancellation case for naive two-pass merging)."""
+    ka, kb = jax.random.split(rng_key)
+    rows_a = np.asarray(_rows(ka, 500)) + 1000.0  # large common offset
+    rows_b = np.asarray(_rows(kb, 500)) + 1000.0
+
+    def merged(dtype):
+        a = _block_of(jnp.asarray(rows_a, dtype), diagonal=False)
+        b = _block_of(jnp.asarray(rows_b, dtype), diagonal=False)
+        out = cgl_merge_two(
+            MomentBlock(*(jnp.asarray(x, dtype) for x in a)),
+            MomentBlock(*(jnp.asarray(x, dtype) for x in b)),
+        )
+        return np.asarray(out.m2, np.float64)
+
+    m2_64 = merged(jnp.float64)
+    m2_32 = merged(jnp.float32)
+    scale = np.abs(m2_64).max()
+    np.testing.assert_allclose(m2_32 / scale, m2_64 / scale, atol=2e-4)
+
+
+# -------------------------------------------------------------------------
+# late-start edges and support totals
+# -------------------------------------------------------------------------
+
+
+def test_late_start_zero_offset_is_identity(rng_key):
+    inner = reset_window_buffer(D)
+    wrapped = late_start(reset_window_buffer(D), 0)
+    si, sw = inner.init(), wrapped.init()
+    for r in _rows(rng_key, 10):
+        si, sw = inner.update(si, r), wrapped.update(sw, r)
+    _assert_block_close(wrapped.get_moments(sw), inner.get_moments(si))
+
+
+def test_late_start_skip_count_resets_each_split(rng_key):
+    ka, kb = jax.random.split(rng_key)
+    offset = 3
+    buf = late_start(reset_window_buffer(D), offset)
+    state = buf.init()
+    for r in _rows(ka, 8):
+        state = buf.update(state, r)
+    state = buf.push_split(state)
+    rows2 = _rows(kb, 8)
+    for r in rows2:
+        state = buf.update(state, r)
+    # second split must ALSO have skipped its first `offset` rows
+    expected = _block_of(rows2[offset:], diagonal=False)
+    _assert_block_close(buf.get_moments(state), expected)
+
+
+def test_support_totals_across_splits(rng_key):
+    buf = accumulating_split_pop_buffer(D, 3)
+    state = buf.init()
+    sizes = (5, 7, 4)
+    for i, n in enumerate(sizes):
+        for r in _rows(jax.random.fold_in(rng_key, i), n):
+            state = buf.update(state, r)
+        if i < len(sizes) - 1:
+            state = buf.push_split(state)
+    total, per_slot = buf.get_support(state)
+    assert float(total) == sum(sizes)
+    np.testing.assert_array_equal(np.sort(np.asarray(per_slot)), np.sort(sizes))
