@@ -61,3 +61,38 @@ def test_pathfinder_adaptation_multichain(rng_key):
     assert results.parameters["step_size"].shape == (4,)
     assert results.parameters["inverse_mass_matrix"].shape == (4, 4)
     assert np.isfinite(np.asarray(results.parameters["step_size"])).all()
+
+
+def test_mclmc_preconditioning_tracks_spectrum(rng_key):
+    """Ill-conditioned Gaussian (log-spaced eigenvalues, condition 10 at
+    d=100): with diagonal preconditioning the tuned inverse-mass diag must
+    align with the eigenvalue spectrum (cosine > 0.9); without it the
+    metric stays isotropic. Mirrors the reference's
+    ``test_mclmc_preconditioning`` (``tests/mcmc/test_sampling.py:482``)."""
+    from blackjax_tpu.mcmc import mclmc as mclmc_mod
+
+    d, condition = 100, 10.0
+    eigs = jnp.logspace(-0.5 * np.log10(condition), 0.5 * np.log10(condition), d)
+    ill_logdensity = lambda x: -0.5 * jnp.sum(x**2 / eigs)
+
+    init_key, tune_key = jax.random.split(rng_key)
+    position = jax.random.normal(init_key, (d,)) * jnp.sqrt(eigs.max())
+    kernel = mclmc_mod.build_kernel()
+
+    def tune(preconditioning):
+        state = mclmc_mod.init(position, ill_logdensity, init_key)
+        _, params, _ = blackjax_tpu.mclmc_find_L_and_step_size(
+            kernel, 10000, state, tune_key,
+            logdensity_fn=ill_logdensity,
+            diagonal_preconditioning=preconditioning,
+        )
+        return np.asarray(params.inverse_mass_matrix)
+
+    imm = tune(True)
+    spectrum_alignment = float(
+        np.dot(imm**2 / np.linalg.norm(imm**2), eigs / np.linalg.norm(eigs))
+    )
+    assert abs(spectrum_alignment - 1.0) < 0.1
+
+    imm_off = tune(False)
+    np.testing.assert_allclose(imm_off, np.ones(d))
