@@ -20,6 +20,10 @@ from blackjax_tpu.mcmc.metrics import (
     gaussian_riemannian,
 )
 
+# exactness pins run in both precision passes: full precision under x64,
+# f32 rounding (with a cholesky/inverse chain) otherwise
+RTOL_EXACT = 1e-8 if jax.config.jax_enable_x64 else 2e-4
+
 # ---------------------------------------------------------------------------
 # input validation and dim-1/dim-2 exactness
 # ---------------------------------------------------------------------------
@@ -74,7 +78,7 @@ def test_riemannian_requires_callable_and_matches_fixed(rng_key):
         + 0.5 * float(jnp.linalg.slogdet(M)[1])
         + 0.5 * 2 * np.log(2 * np.pi)
     )
-    np.testing.assert_allclose(ke_riem, expected, rtol=1e-10)
+    np.testing.assert_allclose(ke_riem, expected, rtol=RTOL_EXACT)
 
 
 def test_riemannian_kinetic_energy_requires_position():
@@ -109,11 +113,11 @@ def test_scale_flag_grid_dense():
     Ft = _operator_matrix(metric, 2, inv=False, trans=True)
     G = _operator_matrix(metric, 2, inv=True, trans=False)
     Gt = _operator_matrix(metric, 2, inv=True, trans=True)
-    np.testing.assert_allclose(F @ F.T, m, rtol=1e-8)
-    np.testing.assert_allclose(G @ G.T, np.asarray(imm), rtol=1e-8)
-    np.testing.assert_allclose(Ft, F.T, rtol=1e-10)
-    np.testing.assert_allclose(Gt, G.T, rtol=1e-10)
-    np.testing.assert_allclose(np.linalg.inv(F), G.T, rtol=1e-8)
+    np.testing.assert_allclose(F @ F.T, m, rtol=RTOL_EXACT)
+    np.testing.assert_allclose(G @ G.T, np.asarray(imm), rtol=RTOL_EXACT)
+    np.testing.assert_allclose(Ft, F.T, rtol=RTOL_EXACT)
+    np.testing.assert_allclose(Gt, G.T, rtol=RTOL_EXACT)
+    np.testing.assert_allclose(np.linalg.inv(F), G.T, rtol=RTOL_EXACT)
 
 
 def test_scale_inverse_roundtrip_low_rank(rng_key):
@@ -129,7 +133,7 @@ def test_scale_inverse_roundtrip_low_rank(rng_key):
         # correction do not commute), mirroring the dense inv(F) = G^T
         fwd = metric.scale(jnp.zeros(d), e, inv=False, trans=trans)
         back = metric.scale(jnp.zeros(d), fwd, inv=True, trans=not trans)
-        np.testing.assert_allclose(np.asarray(back), np.asarray(e), rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(e), rtol=RTOL_EXACT)
 
 
 def test_low_rank_identity_lam_matches_pure_diagonal(rng_key):
@@ -142,13 +146,13 @@ def test_low_rank_identity_lam_matches_pure_diagonal(rng_key):
     diag = gaussian_euclidean(sigma**2)
     p = jax.random.normal(jax.random.fold_in(rng_key, 2), (d,))
     np.testing.assert_allclose(
-        float(lr.kinetic_energy(p)), float(diag.kinetic_energy(p)), rtol=1e-10
+        float(lr.kinetic_energy(p)), float(diag.kinetic_energy(p)), rtol=RTOL_EXACT
     )
     key = jax.random.fold_in(rng_key, 3)
     np.testing.assert_allclose(
         np.asarray(lr.sample_momentum(key, jnp.zeros(d))),
         np.asarray(diag.sample_momentum(key, jnp.zeros(d))),
-        rtol=1e-10,
+        rtol=RTOL_EXACT,
     )
 
 

@@ -86,8 +86,8 @@ def test_additive_logdensity_grad_matches_full():
             out_specs=(PartitionSpec(), PartitionSpec("model")),
         )
     )(x, scales)
-    np.testing.assert_allclose(float(val), float(expected_val), rtol=1e-12)
-    np.testing.assert_allclose(np.asarray(grad), np.asarray(expected_grad), rtol=1e-12)
+    np.testing.assert_allclose(float(val), float(expected_val), rtol=(1e-12 if jax.config.jax_enable_x64 else 1e-5))
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(expected_grad), rtol=(1e-12 if jax.config.jax_enable_x64 else 1e-5))
 
 
 @pytest.mark.parametrize("kernel_kind", ["nuts", "hmc"])
