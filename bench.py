@@ -26,6 +26,59 @@ except Exception:
     pass
 CACHE_PATH = os.path.join(REPO, ".bench_baseline_cache.json")
 
+# honor JAX_PLATFORMS for CPU smoke runs even when the environment's
+# sitecustomize pinned a TPU platform at interpreter startup (the env var
+# alone does not override that; the config call before first backend use
+# does — same pattern as examples/)
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+
+def _probe_backend(timeout_s: int = 180) -> None:
+    """Fail FAST if the device backend is unresponsive instead of hanging
+    the caller forever.
+
+    Observed failure mode (2026-08-17): the axon TPU tunnel can go down for
+    hours; any process then blocks indefinitely inside backend init /
+    the first device op at ~0% CPU. The first backend touch runs on a
+    watchdog thread; on timeout we print an explicit diagnosis and exit
+    nonzero so the driver records the cause rather than a silent hang.
+    """
+    import threading
+
+    done = threading.Event()
+    failure = []
+
+    def probe():
+        try:
+            jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+        except Exception as exc:  # pragma: no cover
+            failure.append(repr(exc))
+        done.set()
+
+    thread = threading.Thread(target=probe, daemon=True)
+    thread.start()
+    if not done.wait(timeout_s):
+        msg = (
+            f"device backend unresponsive after {timeout_s}s "
+            "(TPU tunnel down?); refusing to hang"
+        )
+        print(msg, file=sys.stderr, flush=True)
+        print(json.dumps({"metric": "bench-aborted", "error": msg}), flush=True)
+        os._exit(2)
+    if failure:
+        print(f"backend probe failed: {failure[0]}", file=sys.stderr, flush=True)
+        print(
+            json.dumps({"metric": "bench-aborted", "error": failure[0]}), flush=True
+        )
+        os._exit(2)
+
+
+_probe_backend()
+
 # benchmark configuration (scaled down automatically on CPU)
 DIM = 100
 ON_TPU = jax.devices()[0].platform != "cpu"
