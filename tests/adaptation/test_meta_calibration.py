@@ -222,3 +222,94 @@ def test_verdict_effective_rank_bounded_by_cap(rng_key):
     verdict = extract_meta_verdict(state, 200_000, 900)
     assert 1 <= verdict.effective_rank <= 2
     assert 1 <= verdict.flags["nominal_rank"] <= 2
+
+
+# ---------------------------------------------------------------------------
+# planted-structure e2e grid (single-chain core over full windows)
+# ---------------------------------------------------------------------------
+
+
+def _run_core_windows(rng_key, cov, max_rank=3, windows=3, n=300):
+    d = cov.shape[0]
+    chol = jnp.linalg.cholesky(cov)
+    prec = jnp.linalg.inv(cov)
+    core = build_meta_adaptation_core(200_000, max_rank=max_rank)
+    state = core.init(d)
+
+    @jax.jit
+    def run_window(state, key):
+        z = jax.random.normal(key, (n, d))
+        draws = z @ chol.T
+        state, _ = jax.lax.scan(
+            lambda s, xg: (core.update(s, xg[0], xg[1]), None),
+            state,
+            (draws, -draws @ prec.T),
+        )
+        return core.final(state)
+
+    for key in jax.random.split(rng_key, windows):
+        state = run_window(state, key)
+    return state, extract_meta_verdict(state, 200_000, n * windows)
+
+
+def _grid_covs():
+    d = 6
+    v1 = jnp.ones(d) / jnp.sqrt(d)
+    v2 = jnp.array([1.0, -1.0, 1.0, -1.0, 1.0, -1.0]) / jnp.sqrt(d)
+    return {
+        # oblique rank-2 inflation: the ONLY structure a diagonal cannot fix
+        "oblique-rank2": (
+            jnp.eye(d) + 24.0 * jnp.outer(v1, v1) + 18.0 * jnp.outer(v2, v2),
+            "low_rank",
+        ),
+        # axis-aligned spike: absorbed by the Welford sigma, stays diagonal
+        "axis-spike": (jnp.eye(d).at[0, 0].set(25.0), "diagonal"),
+        # pure anisotropy: diagonal is the right answer
+        "aniso-diag": (
+            jnp.diag(jnp.array([0.25, 1.0, 4.0, 9.0, 1.0, 0.5])),
+            "diagonal",
+        ),
+        # compressed oblique direction: the detector is one-sided (upper
+        # bulk edge of the whitened spectrum), so a compression does not
+        # escalate — pinned as deliberate behavior
+        "compressed-oblique": (jnp.eye(d) - 0.9 * jnp.outer(v1, v1), "diagonal"),
+    }
+
+
+@pytest.mark.parametrize("name", list(_grid_covs()))
+def test_planted_structure_grid_routes(name, rng_key):
+    cov, expected_route = _grid_covs()[name]
+    state, verdict = _run_core_windows(rng_key, cov)
+    assert verdict.route == expected_route, (name, verdict.route)
+    if expected_route == "low_rank":
+        assert bool(state.has_escalated)
+        assert verdict.effective_rank >= 2  # both planted directions found
+    else:
+        assert not bool(state.has_escalated)
+        assert verdict.effective_rank == 0
+
+
+def test_planted_grid_diagonal_sigma_tracks_scales(rng_key):
+    scales = jnp.array([0.25, 1.0, 4.0, 9.0, 1.0, 0.5])
+    state, verdict = _run_core_windows(rng_key, jnp.diag(scales))
+    np.testing.assert_allclose(
+        np.asarray(state.inverse_mass_matrix.sigma) ** 2,
+        np.asarray(scales),
+        rtol=0.25,
+    )
+
+
+def test_planted_grid_low_rank_captures_subspace(rng_key):
+    d = 6
+    v1 = jnp.ones(d) / jnp.sqrt(d)
+    v2 = jnp.array([1.0, -1.0, 1.0, -1.0, 1.0, -1.0]) / jnp.sqrt(d)
+    cov = jnp.eye(d) + 24.0 * jnp.outer(v1, v1) + 18.0 * jnp.outer(v2, v2)
+    state, _ = _run_core_windows(rng_key, cov)
+    assert bool(state.has_escalated)
+    U = np.asarray(state.inverse_mass_matrix.U)
+    # the deployed columns span the planted plane: projecting each planted
+    # direction onto the column space keeps (almost) all of its norm
+    proj = U @ (U.T @ np.stack([np.asarray(v1), np.asarray(v2)], axis=1))
+    np.testing.assert_allclose(
+        np.linalg.norm(proj, axis=0), [1.0, 1.0], atol=0.1
+    )
