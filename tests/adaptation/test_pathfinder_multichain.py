@@ -120,8 +120,10 @@ def test_bimodal_between_component_spread(rng_key):
         b = -0.5 * jnp.sum((x + jnp.array([sep, 0.0])) ** 2)
         return jnp.logaddexp(a, b)
 
+    # 16 paths: the chance every path lands in the same mode (which would
+    # hide the between-component spread) is ~2^-15 — seed-rotation safe
     multi = blackjax_tpu.pathfinder_adaptation(
-        nuts_mod, bimodal, num_chains=8, n_paths=8, num_samples_per_path=200
+        nuts_mod, bimodal, num_chains=8, n_paths=16, num_samples_per_path=200
     )
     results, _ = multi.run(rng_key, jnp.zeros(2), 50)
     imm = np.asarray(results.parameters["inverse_mass_matrix"])
