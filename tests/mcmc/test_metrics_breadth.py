@@ -168,7 +168,7 @@ def test_low_rank_kinetic_energy_matches_dense_expansion(rng_key):
     dense = gaussian_euclidean(dense_imm)
     p = jax.random.normal(jax.random.fold_in(rng_key, 2), (d,))
     np.testing.assert_allclose(
-        float(lr.kinetic_energy(p)), float(dense.kinetic_energy(p)), rtol=1e-8
+        float(lr.kinetic_energy(p)), float(dense.kinetic_energy(p)), rtol=RTOL_EXACT
     )
 
 
@@ -212,9 +212,11 @@ def test_lbfgs_adapter_orthonormal_u_and_sigma(rng_key):
     beta, gamma = lbfgs_inverse_hessian_factors(S, Z, alpha)
     imm = lbfgs_inverse_hessian_to_low_rank_metric(alpha, beta, gamma)
     assert isinstance(imm, LowRankInverseMassMatrix)
-    np.testing.assert_allclose(np.asarray(imm.sigma), np.sqrt(np.asarray(alpha)), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(imm.sigma), np.sqrt(np.asarray(alpha)), rtol=RTOL_EXACT
+    )
     U = np.asarray(imm.U)
-    np.testing.assert_allclose(U.T @ U, np.eye(U.shape[1]), atol=1e-8)
+    np.testing.assert_allclose(U.T @ U, np.eye(U.shape[1]), atol=1e-8 if jax.config.jax_enable_x64 else 1e-4)
     assert (np.asarray(imm.lam) > 0).all()
 
 

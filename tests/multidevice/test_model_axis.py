@@ -160,7 +160,12 @@ def test_model_sharded_step_matches_single_device(rng_key, kernel_kind):
     want = np.stack(expected)
     # identical math up to psum summation order; under x64 the paths track
     # each other through all accept/reject decisions at this horizon
-    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(
+        got, want,
+        # psum vs emulated full-d reduction differ in summation order only
+        rtol=1e-8 if jax.config.jax_enable_x64 else 2e-4,
+        atol=1e-8 if jax.config.jax_enable_x64 else 2e-4,
+    )
 
 
 def test_model_sharded_huge_d_smoke():

