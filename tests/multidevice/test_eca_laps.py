@@ -258,3 +258,40 @@ def test_oversubscribed_with_large_window_matches_m1(mesh, rng_key):
         np.asarray(final_ov.position), np.asarray(final_ref.position)
     )
     assert np.any(np.asarray(final_ov.position) != 0.0)
+
+
+@pytest.mark.parametrize("use_typed_key", [True, False], ids=["typed", "legacy"])
+def test_laps_key_style(mesh, rng_key, use_typed_key):
+    """LAPS/ECA must accept both typed keys and legacy uint32[2] PRNGKeys.
+
+    Reference regression (``tests/mcmc/test_sampling.py:785``): a full
+    ``keys.T`` reverses *all* axes, which corrupts legacy key arrays whose
+    trailing axis is the raw key representation; the step axis must be
+    brought forward with ``swapaxes(0, 1)`` (``parallel/eca.py:195``).
+    """
+    dim = 2
+    logdensity = lambda x: -0.5 * jnp.sum(x**2)
+    sample_init = lambda key: jax.random.normal(key, (dim,))
+
+    if use_typed_key:
+        run_key = rng_key
+    else:
+        run_key = jax.random.PRNGKey(int(jax.random.bits(rng_key)))
+
+    _, _, _, final_state = laps(
+        logdensity,
+        sample_init,
+        dim,
+        num_steps1=50,
+        num_steps2=50,
+        num_chains=16,
+        mesh=mesh,
+        rng_key=run_key,
+        early_stop=False,
+        steps_per_sample=5,
+        r_end=0.5,
+        diagnostics=False,
+        superchain_size=1,
+    )
+    assert final_state.position.shape == (16, dim)
+    assert np.isfinite(np.asarray(final_state.position)).all()
