@@ -226,3 +226,91 @@ def test_pretuning_smc_end_to_end(rng_key):
     # the step-size population should have moved
     assert state.parameter_override["step_size"].shape == (n_particles,)
     assert np.isfinite(np.asarray(state.parameter_override["step_size"])).all()
+
+
+def test_persistent_sampling_batched_matches_unbatched(rng_key):
+    """``batch_size > 0`` (lax.map likelihood batching through the persistent
+    history) must match the full-vmap path on every particle to fp tolerance —
+    the reference pins this equivalence for its ``batch_size`` seam
+    (``tests/smc/test_persistent_sampling.py:1044``)."""
+    logprior, loglik = _model()
+    n_schedule = 3
+    schedule = jnp.array([0.1, 0.5, 1.0])
+    init_key, run_key = jax.random.split(rng_key)
+    particles = 2.0 * jax.random.normal(init_key, (100, 2))
+
+    def run(batch_size):
+        algo = blackjax_tpu.persistent_sampling_smc(
+            logprior,
+            loglik,
+            n_schedule,
+            blackjax_tpu.hmc.build_kernel(),
+            blackjax_tpu.hmc.init,
+            extend_params(
+                {
+                    "step_size": 0.1,
+                    "inverse_mass_matrix": jnp.eye(2),
+                    "num_integration_steps": 10,
+                }
+            ),
+            resampling.systematic,
+            num_mcmc_steps=5,
+            batch_size=batch_size,
+        )
+        state = algo.init(particles)
+        step = jax.jit(algo.step)
+        key = run_key
+        for lam in schedule:
+            key, sub = jax.random.split(key)
+            state, _ = step(sub, state, lam)
+        return state
+
+    full = run(0)
+    batched = run(10)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5),
+        full.particles,
+        batched.particles,
+    )
+    np.testing.assert_allclose(float(full.log_Z), float(batched.log_Z), rtol=1e-5)
+
+
+def test_adaptive_persistent_sampling_batched_converges(rng_key):
+    """The adaptive (ESS-solver) variant also accepts the batching seam and
+    still recovers the posterior moments."""
+    logprior, loglik = _model()
+    algo = blackjax_tpu.adaptive_persistent_sampling_smc(
+        logprior,
+        loglik,
+        20,
+        blackjax_tpu.hmc.build_kernel(),
+        blackjax_tpu.hmc.init,
+        extend_params(
+            {
+                "step_size": 0.3,
+                "inverse_mass_matrix": jnp.eye(2),
+                "num_integration_steps": 8,
+            }
+        ),
+        resampling.systematic,
+        target_ess=0.7,
+        num_mcmc_steps=4,
+        batch_size=25,
+    )
+    init_key, run_key = jax.random.split(rng_key)
+    particles = 2.0 * jax.random.normal(init_key, (500, 2))
+    state = algo.init(particles)
+    step = jax.jit(algo.step)
+    for _ in range(30):
+        run_key, sub = jax.random.split(run_key)
+        state, _ = step(sub, state)
+        if float(state.tempering_param) >= 1.0:
+            break
+    assert float(state.tempering_param) >= 1.0
+    # conjugate-pair posterior mean: prior N(0, 4), likelihood N(1, 0.5)
+    post_mean = 4.0 / 4.5
+    np.testing.assert_allclose(
+        np.asarray(jnp.mean(state.particles, 0)),
+        np.full(2, post_mean),
+        atol=0.35,
+    )
