@@ -103,8 +103,20 @@ def select_top_eigenvalues_by_informativeness(
         return U_out, lam_out
 
     order = jnp.argsort(scores)[::-1]
-    top = order[:max_rank]
-    return eigenvectors[:, top], eigenvalues[top]
+    actual_rank = min(max_rank, q)
+    top = order[:actual_rank]
+    U_out = eigenvectors[:, top]
+    lam_out = eigenvalues[top]
+    if actual_rank < max_rank:
+        # fewer eigenpairs exist than the payload's static rank: pad with
+        # inert pairs (zero vectors contribute nothing; lam=1 is the
+        # identity eigenvalue) so consumers carrying a (d, max_rank)
+        # payload through scan/cond keep static shapes
+        d = eigenvectors.shape[0]
+        pad = max_rank - actual_rank
+        U_out = jnp.concatenate([U_out, jnp.zeros((d, pad), U_out.dtype)], axis=1)
+        lam_out = jnp.concatenate([lam_out, jnp.ones(pad, lam_out.dtype)])
+    return U_out, lam_out
 
 
 def _compute_low_rank_metric(
