@@ -31,6 +31,10 @@ from blackjax_tpu.util import pytree_size
 
 __all__ = ["StagedAdaptationState", "build_schedule", "staged_adaptation"]
 
+# warmup-only NUTS treedepth cap on the auto-metric ensemble path: 2^5 - 1
+# = 31 leapfrogs per step, the equilibrated depth of a well-tuned chain
+_WARMUP_DOUBLINGS_CAP = 5
+
 
 class StagedAdaptationState(NamedTuple):
     ss_state: DualAveragingAdaptationState
@@ -288,6 +292,33 @@ def staged_adaptation(
         axis_name=axis_name,
     )
 
+    # Warmup-only treedepth cap on the auto-metric ensemble path. With M
+    # dispersed inits under the identity first-window metric, NUTS grows
+    # pathologically deep trees (hundreds of leapfrogs per step on
+    # ill-conditioned targets vs ~31 equilibrated), burning the grad budget
+    # before any metric is known. Cap max_num_doublings at 5 (31 leapfrogs)
+    # for the warmup loop ONLY; the returned parameters keep the user's
+    # (or default) value so sampling runs uncapped. Kernels without a
+    # max_num_doublings kwarg (HMC, MALA, ...) are left untouched.
+    # Behavioral parity: reference blackjax/adaptation/staged_adaptation.py
+    # :883-899 (same cap, same auto+multichain+NUTS-only gating).
+    warmup_parameters = extra_parameters
+    if metric == "auto" and multi_chain:
+        import inspect
+
+        try:
+            accepts_doublings = (
+                "max_num_doublings" in inspect.signature(mcmc_kernel).parameters
+            )
+        except (TypeError, ValueError):  # pragma: no cover — builtin kernels
+            accepts_doublings = False
+        if accepts_doublings:
+            user_doublings = extra_parameters.get("max_num_doublings", 10)
+            warmup_parameters = {
+                **extra_parameters,
+                "max_num_doublings": min(user_doublings, _WARMUP_DOUBLINGS_CAP),
+            }
+
     if initial_metric_state is not None:
         _base_init = adapt_init
 
@@ -316,7 +347,7 @@ def staged_adaptation(
                     logdensity_fn,
                     adaptation_state.step_size,
                     adaptation_state.inverse_mass_matrix,
-                    **extra_parameters,
+                    **warmup_parameters,
                 )
             )(keys, state)
         else:
