@@ -41,14 +41,14 @@ def _run(rng_key, *, metric, n_chains, num_steps=80, **extra):
 def test_auto_multichain_warmup_trees_are_capped(rng_key):
     """metric='auto' ensemble warmup never integrates past 2^5 - 1 = 31
     leapfrogs per transition, even at the default max_num_doublings=10."""
-    _, info = _run(rng_key, metric="auto", n_chains=4)
+    _, info = _run(rng_key, metric="auto", n_chains=6)
     assert int(jnp.max(info.info.num_integration_steps)) <= 31
 
 
 def test_non_auto_multichain_warmup_is_uncapped(rng_key):
     """The cap is auto-metric-only: the plain welford_diag ensemble warmup
     on the same dispersed ill-conditioned start grows past 31 leapfrogs."""
-    _, info = _run(rng_key, metric="welford_diag", n_chains=4)
+    _, info = _run(rng_key, metric="welford_diag", n_chains=6)
     assert int(jnp.max(info.info.num_integration_steps)) > 31
 
 
@@ -56,7 +56,7 @@ def test_cap_not_in_returned_parameters(rng_key):
     """The warmup-loop override must not leak: the returned parameters carry
     the user's max_num_doublings for the sampling phase."""
     results, _ = _run(
-        rng_key, metric="auto", n_chains=4, num_steps=60, max_num_doublings=8
+        rng_key, metric="auto", n_chains=6, num_steps=60, max_num_doublings=8
     )
     assert results.parameters["max_num_doublings"] == 8
 
@@ -64,7 +64,7 @@ def test_cap_not_in_returned_parameters(rng_key):
 def test_user_cap_below_five_wins(rng_key):
     """A user value already below the warmup cap is respected, not raised."""
     _, info = _run(
-        rng_key, metric="auto", n_chains=4, num_steps=60, max_num_doublings=3
+        rng_key, metric="auto", n_chains=6, num_steps=60, max_num_doublings=3
     )
     assert int(jnp.max(info.info.num_integration_steps)) <= 7
 
@@ -77,9 +77,9 @@ def test_hmc_auto_multichain_no_type_error(rng_key):
         _logdensity,
         metric="auto",
         max_grad_budget=40_000,
-        n_chains=4,
+        n_chains=6,
         num_integration_steps=8,
     )
-    init = jax.random.normal(rng_key, (4, D)) * _SCALES
+    init = jax.random.normal(rng_key, (6, D)) * _SCALES
     results, _ = warmup.run(rng_key, init, num_steps=60)
     assert 0.0 < float(results.parameters["step_size"]) < 100.0
