@@ -1,5 +1,6 @@
 from blackjax_tpu.models.targets import (
     eight_schools_noncentered,
+    finnish_horseshoe,
     hierarchical_gaussian,
     ill_conditioned_gaussian,
     logistic_regression,
@@ -11,5 +12,6 @@ __all__ = [
     "ill_conditioned_gaussian",
     "hierarchical_gaussian",
     "eight_schools_noncentered",
+    "finnish_horseshoe",
     "logistic_regression",
 ]

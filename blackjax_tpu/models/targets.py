@@ -92,6 +92,73 @@ def eight_schools_noncentered() -> Target:
     return Target(logdensity_fn, 10, "eight_schools")
 
 
+def finnish_horseshoe(
+    num_points: int = 100,
+    num_predictors: int = 200,
+    expected_nonzero: int = 10,
+    slab_scale: float = 3.0,
+    slab_df: float = 25.0,
+    seed: int = 42,
+) -> Target:
+    """Regularized ("Finnish") horseshoe sparse regression, Piironen &
+    Vehtari (2017) — the reference's heaviest benchmark posterior
+    (``tests/test_benchmarks.py:65-165``).
+
+    Flat-array-first like every house target. Unconstrained layout
+    ``x = (alpha, log_sigma, log_tau, log_c2, log_lambda[M], beta_tilde[M])``
+    so ``dim = 4 + 2*M``; positive parameters ride in log space with the
+    Jacobian folded into the log-density. Normalization constants are
+    dropped (house convention).
+    """
+    import numpy as np
+
+    M, N = num_predictors, num_points
+    rng = np.random.default_rng(seed)
+    X = jnp.asarray(rng.standard_normal((N, M)), dtype=jnp.float32)
+    truth = np.zeros(M)
+    hot = rng.random(M) < 0.05
+    truth[hot] = rng.standard_normal(int(hot.sum())) + 10.0
+    y = jnp.asarray(X @ truth + rng.standard_normal(N), dtype=jnp.float32)
+
+    # global-scale anchor: tau0 = m0 / ((M - m0) sqrt(N))  (P&V eq. 3.12,
+    # absorbed sigma rides separately below)
+    tau0 = expected_nonzero / ((M - expected_nonzero) * np.sqrt(N))
+    half_df = 0.5 * slab_df
+    slab2 = slab_scale**2
+
+    def logdensity_fn(x):
+        alpha = x[..., 0]
+        log_sigma = x[..., 1]
+        log_tau = x[..., 2]
+        log_c2 = x[..., 3]
+        log_lam = x[..., 4 : 4 + M]
+        beta_t = x[..., 4 + M :]
+
+        sigma = jnp.exp(log_sigma)
+        tau = tau0 * sigma * jnp.exp(log_tau)
+        c2 = slab2 * jnp.exp(log_c2)[..., None]
+        lam2 = jnp.exp(2.0 * log_lam)
+        # slab-regularized local scales: lam_reg^2 = c2 lam^2/(c2 + tau^2 lam^2)
+        lam_reg = jnp.sqrt(c2 * lam2 / (c2 + tau[..., None] ** 2 * lam2))
+        beta = tau[..., None] * lam_reg * beta_t
+
+        resid = y - (beta @ X.T + alpha[..., None])
+        loglik = -N * log_sigma - 0.5 * jnp.sum(
+            (resid / sigma[..., None]) ** 2, axis=-1
+        )
+
+        lp = -0.125 * alpha**2  # alpha ~ N(0, 2)
+        lp += -0.125 * sigma**2 + log_sigma  # sigma ~ HalfNormal(2), + Jacobian
+        lp += -jnp.log1p(jnp.exp(2.0 * log_tau)) + log_tau  # HalfCauchy(1)
+        # c2_tilde ~ InvGamma(df/2, df/2): -(a+1) log c - a/c, + Jacobian
+        lp += -half_df * log_c2 - half_df * jnp.exp(-log_c2)
+        lp += jnp.sum(-jnp.log1p(lam2) + log_lam, axis=-1)  # HalfCauchy(1)
+        lp += -0.5 * jnp.sum(beta_t**2, axis=-1)
+        return lp + loglik
+
+    return Target(logdensity_fn, 4 + 2 * M, f"finnish_horseshoe_{N}x{M}")
+
+
 def logistic_regression(
     rng_key=None, num_points: int = 512, dim: int = 25
 ) -> tuple[Target, jnp.ndarray, jnp.ndarray]:
