@@ -482,6 +482,58 @@ def config_meads():
     return {"value": ours, "unit": "chain-steps/sec (full warmup)"}, ref
 
 
+def config_horseshoe():
+    """Finnish (regularized) horseshoe sparse regression at the reference
+    benchmark's scale (N=100, M=200, d=404 — the reference's heaviest
+    benchmark posterior, ``tests/test_benchmarks.py:65``). Warmup runs ONCE
+    (ours) and the adapted parameters are shared by both sides, so the
+    measured quantity is pure NUTS sampling ESS/sec on a realistic
+    correlated posterior."""
+    from blackjax_tpu.models.targets import finnish_horseshoe
+
+    target = finnish_horseshoe()  # N=100, M=200, d=404
+    d = target.dim
+    num_chains, num_steps, num_warmup = (64, 400, 600) if ON_TPU else (8, 80, 200)
+    key = jax.random.key(31)
+    warm_key, sample_key, pos_key = jax.random.split(key, 3)
+    positions = 0.05 * jax.random.normal(pos_key, (num_chains, d))
+
+    from blackjax_tpu.adaptation.window_adaptation import window_adaptation
+    from blackjax_tpu.mcmc import nuts as nuts_mod
+
+    results, _ = window_adaptation(nuts_mod, target.logdensity_fn).run(
+        warm_key, jnp.zeros(d), num_warmup
+    )
+    parameters = results.parameters
+
+    def measure(nuts_factory):
+        algo = nuts_factory(parameters)
+        states = jax.vmap(algo.init)(positions)
+        keys = jax.random.split(sample_key, (num_steps, num_chains))
+
+        @jax.jit
+        def run(states):
+            def one(states, ks):
+                states, _ = jax.vmap(algo.step)(ks, states)
+                return states, states.position
+
+            return jax.lax.scan(one, states, keys)
+
+        elapsed = _timeit(run, states)
+        _, hist = run(states)  # (steps, chains, d)
+        return _min_ess_per_sec(np.asarray(hist).swapaxes(0, 1), elapsed)
+
+    import blackjax_tpu
+
+    ours = measure(lambda p: blackjax_tpu.nuts(target.logdensity_fn, **p))
+
+    def ref():
+        blackjax = _reference()
+        return measure(lambda p: blackjax.nuts(target.logdensity_fn, **p))
+
+    return {"value": ours, "unit": "min-ESS/sec (horseshoe d=404)"}, ref
+
+
 CONFIGS = {
     "hmc": config_hmc,
     "nuts_8schools": config_nuts_8schools,
@@ -490,6 +542,7 @@ CONFIGS = {
     "smc": config_smc,
     "cross_chain": config_cross_chain,
     "meads": config_meads,
+    "horseshoe": config_horseshoe,
 }
 
 # bump a config's version when its measurement protocol changes (invalidates
