@@ -55,16 +55,27 @@ _LANE = 128
 _SUBLANE = 8
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class TargetKernelDC:
     """An analytic target in the transposed ``(dim, chains)`` convention.
 
     ``logdensity_tile(x, mask, *params) -> (1, T)`` and
     ``grad_tile(x, mask, *params) -> (D, T)`` operate on a padded
     ``(d_padded, tile_chains)`` block; both must ignore sublanes where
-    ``mask == 0`` and return zero gradient there. ``params`` are
-    ``(d,)``-shaped host vectors, delivered to the tile functions
-    zero-padded and lane-broadcast as ``(d_padded, T)`` VMEM operands.
+    ``mask == 0`` and return zero gradient there.
+
+    ``params`` entries are either
+
+    - 1-D host vectors (any length ``L``): delivered zero-padded to the
+      sublane boundary and lane-broadcast as ``(L_pad, T)`` VMEM operands, or
+    - 2-D host matrices: delivered VERBATIM as whole-array VMEM operands
+      replicated across chain tiles — the target pre-pads them to whatever
+      geometry its tile contractions need (row counts should be multiples
+      of 8; a contracting axis must exactly match its partner's).
+
+    ``vg_tile``, when provided, computes ``(logdensity (1, T), grad (D, T))``
+    in one pass so shared intermediates (the MXU contractions of the
+    matmul-class targets) are evaluated once per leapfrog instead of twice.
     """
 
     name: str
@@ -73,9 +84,12 @@ class TargetKernelDC:
     grad_tile: Callable
     logdensity_fn: Callable
     params: tuple = ()
+    vg_tile: Callable = None
 
     def __hash__(self):  # ride through jit as a static argument
-        return hash((self.name, self.dim, self.params))
+        # params may hold ndarrays; name+dim is enough (distinct instances
+        # that collide merely re-specialize, they never alias)
+        return hash((self.name, self.dim))
 
 
 def make_gaussian_target_dc(dim: int, variances=None) -> TargetKernelDC:
@@ -161,6 +175,7 @@ def _nuts_kernel_dc(
     *refs,
     grad_tile,
     logdensity_tile,
+    vg_tile,
     num_steps,
     budget,
     chunk,
@@ -222,10 +237,18 @@ def _nuts_kernel_dc(
         ld = logdensity_tile(x, mask, *params)
         return ld if ld.ndim == 2 else ld[None, :]
 
+    def value_and_grad(x):
+        """(logdensity (1, T), grad (D, T)) — one pass when the target
+        provides a fused tile (shares the MXU contractions of the
+        matmul-class targets between value and gradient)."""
+        if vg_tile is not None:
+            ld, g = vg_tile(x, mask, *params)
+            return (ld if ld.ndim == 2 else ld[None, :]), g
+        return ld_row(x), grad_tile(x, mask, *params)
+
     # ---- initial chain state -------------------------------------------
     x0 = x_ref[:]
-    g0 = grad_tile(x0, mask, *params)
-    ld0 = ld_row(x0)
+    ld0, g0 = value_and_grad(x0)
 
     zero_v = jnp.zeros((D, T), jnp.float32)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
@@ -336,9 +359,8 @@ def _nuts_kernel_dc(
         d_eps = direction * eps  # (1, T) row; broadcasts natively
         m_half = cur_m + 0.5 * d_eps * cur_g
         new_x = cur_x + d_eps * (imm * m_half)
-        new_g = grad_tile(new_x, mask, *params)
+        new_ld, new_g = value_and_grad(new_x)
         new_m = m_half + 0.5 * d_eps * new_g
-        new_ld = ld_row(new_x)
 
         energy = -new_ld + kinetic(new_m)
         delta = s["h0"] - energy
@@ -546,12 +568,33 @@ def fused_nuts_run_dc(
     sigma = _row_param(
         jnp.sqrt(jnp.where(imm_vec > 0.0, 1.0 / jnp.where(imm_vec > 0.0, imm_vec, 1.0), 0.0))
     )
-    padded_params = tuple(_row_param(jnp.asarray(p, jnp.float32)) for p in target.params)
+
+    def _prep_param(p):
+        """1-D vectors: sublane-padded, lane-broadcast. 2-D matrices:
+        verbatim (the target pre-pads), replicated across chain tiles."""
+        a = jnp.asarray(p, jnp.float32)
+        if a.ndim == 1:
+            rows = _round_up(a.shape[0], _SUBLANE)
+            v = jnp.pad(a, (0, rows - a.shape[0]))
+            op = jnp.broadcast_to(v[:, None], (rows, tile_chains))
+            spec = pl.BlockSpec(
+                (rows, tile_chains), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+            return op, spec
+        if a.ndim != 2:
+            raise ValueError(f"target params must be 1-D or 2-D, got {a.ndim}-D")
+        spec = pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        return a, spec
+
+    prepped = [_prep_param(p) for p in target.params]
+    padded_params = tuple(op for op, _ in prepped)
+    param_specs = [spec for _, spec in prepped]
 
     kernel = functools.partial(
         _nuts_kernel_dc,
         grad_tile=target.grad_tile,
         logdensity_tile=target.logdensity_tile,
+        vg_tile=target.vg_tile,
         num_steps=num_steps,
         budget=budget,
         chunk=chunk,
@@ -607,7 +650,7 @@ def fused_nuts_run_dc(
             rep_spec,
             rep_spec,
         ]
-        + [rep_spec] * len(padded_params),
+        + param_specs,
         out_specs=out_specs,
         interpret=interpret,
         debug=debug,

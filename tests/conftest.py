@@ -70,6 +70,13 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture
 def rng_key():
     """Date-seeded PRNG key: deterministic within a day, rotating daily
-    (mirrors the reference fixture strategy, ``tests/fixtures.py:44-57``)."""
+    (mirrors the reference fixture strategy, ``tests/fixtures.py:44-57``).
+
+    ``BJT_TEST_SEED=<int>`` overrides the date — used by
+    ``tools/seed_sweep.py`` to measure per-test seed-sweep failure rates
+    (any statistical test's daily red risk should be <1%)."""
+    seed_env = os.environ.get("BJT_TEST_SEED")
+    if seed_env is not None:
+        return jax.random.key(int(seed_env))
     seed = int(datetime.date.today().strftime("%Y%m%d"))
     return jax.random.key(seed)

@@ -222,8 +222,14 @@ def test_sharded_waste_free_tempered(rng_key):
     w = np.asarray(result.weights)
     mean = (w[:, None] * parts).sum(0)
     var = (w[:, None] * (parts - mean) ** 2).sum(0)
-    np.testing.assert_allclose(mean, np.asarray(post_mean), atol=0.2)
-    np.testing.assert_allclose(var, post_var, atol=0.2)
+    # Tolerance justified by a 24-seed sweep of THIS config (round 4): the
+    # waste-free estimator is unbiased on the mesh (per-dim signed-error
+    # means [0.002, -0.031], t-stats [0.14, -1.48]) but carries the MC noise
+    # of N/p = 128 *independent* seeds, not N = 512 particles: per-dim
+    # sampling std ~= [0.068, 0.101]. atol = 0.35 ~= 3.2 sigma of the worse
+    # dim => <0.5% daily-seed failure risk (0.2 was ~2 sigma: 8% measured).
+    np.testing.assert_allclose(mean, np.asarray(post_mean), atol=0.35)
+    np.testing.assert_allclose(var, post_var, atol=0.3)
 
 
 def test_sharded_waste_free_rejects_per_particle_params(rng_key):

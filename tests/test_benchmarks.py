@@ -81,7 +81,9 @@ def test_horseshoe_density_matches_independent_spelling(rng_key):
     other = _independent_spelling()
     xs = 0.3 * jax.random.normal(rng_key, (16, D))
     diff = jax.vmap(TARGET.logdensity_fn)(xs) - jax.vmap(other)(xs)
-    np.testing.assert_allclose(diff, diff[0], rtol=0, atol=1e-3)
+    # O(1e3) log-densities: f32 rounding alone moves the diff by ~1e-3
+    atol = 1e-3 if jax.config.jax_enable_x64 else 3e-2
+    np.testing.assert_allclose(diff, diff[0], rtol=0, atol=atol)
 
 
 def test_horseshoe_finite_and_differentiable(rng_key):
