@@ -134,14 +134,19 @@ def _measure(step_fn, init_states, rng_key, num_chains, num_steps):
     def infos_steps(infos):
         return jnp.sum(infos.num_integration_steps)
 
-    # compile
+    # compile + the canonical (pinned) sample stream for the ESS estimate
     final, hist, nsteps = run(rng_key, init_states)
     jax.block_until_ready(hist)
+    # timed run under a DISTINCT key: the axon runtime result-caches a
+    # repeated identical dispatch (measured 2026-08-19: an exact repeat of
+    # the previous call returns in ~0 ms without executing), so timing a
+    # repeat of the compile call measures nothing. The variant workload is
+    # statistically identical; its own grad count pairs with its elapsed.
     t0 = time.perf_counter()
-    final, hist, nsteps = run(rng_key, init_states)
-    jax.block_until_ready(hist)
+    _, h2, n2 = run(jax.random.fold_in(rng_key, 1), init_states)
+    jax.block_until_ready(h2)
     elapsed = time.perf_counter() - t0
-    return elapsed, np.asarray(hist), int(np.sum(np.asarray(nsteps)))
+    return elapsed, np.asarray(hist), int(np.sum(np.asarray(n2)))
 
 
 def _ess_per_dim(hist):
@@ -210,6 +215,10 @@ def bench_ours_fused(rng_key, step_size, imm):
     # exactly the keys the scan path uses: per step, per chain
     step_keys = jax.random.split(rng_key, NUM_STEPS)
     rng_keys = jax.vmap(lambda k: jax.random.split(k, NUM_CHAINS))(step_keys)
+    # distinct key set for the timed dispatch (see _measure: the device
+    # runtime result-caches a repeated identical call)
+    step_keys2 = jax.random.split(jax.random.fold_in(rng_key, 1), NUM_STEPS)
+    rng_keys2 = jax.vmap(lambda k: jax.random.split(k, NUM_CHAINS))(step_keys2)
 
     run = jax.jit(
         build_fused_many_steps(
@@ -224,14 +233,14 @@ def bench_ours_fused(rng_key, step_size, imm):
             restart_every=min(RESTART_EVERY, UNROLL),
         )
     )
-    final, hist, grads = run(rng_keys, states)
+    final, hist, grads = run(rng_keys, states)  # compile + pinned stream
     jax.block_until_ready(hist)
     t0 = time.perf_counter()
-    final, hist, grads = run(rng_keys, states)
-    jax.block_until_ready(hist)
+    _, h2, g2 = run(rng_keys2, states)
+    jax.block_until_ready(h2)
     elapsed = time.perf_counter() - t0
     # hist: (chains, steps, k) -> (steps, chains, k) for _ess_per_dim
-    return elapsed, np.asarray(hist).swapaxes(0, 1), int(grads)
+    return elapsed, np.asarray(hist).swapaxes(0, 1), int(g2)
 
 
 def bench_ours_pallas(rng_key, step_size, imm):
@@ -264,14 +273,21 @@ def bench_ours_pallas(rng_key, step_size, imm):
             chunk=256,
         )
     )
-    out = run(positions)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    fx, hist, grads, steps = run(positions)
+    fx, hist, grads, steps = run(positions)  # compile + canonical stream
     jax.block_until_ready(hist)
+    # timed dispatch must differ from the compile call (runtime result
+    # cache): a fresh init draw is a statistically identical workload
+    positions2 = 0.5 * jax.vmap(lambda k: jax.random.normal(k, (DIM,)))(
+        jax.random.split(jax.random.fold_in(rng_key, 1), NUM_CHAINS)
+    )
+    t0 = time.perf_counter()
+    _, h2, g2, s2 = run(positions2)
+    jax.block_until_ready(h2)
     elapsed = time.perf_counter() - t0
-    completed = int(np.min(np.asarray(steps)))
-    return elapsed, np.asarray(hist).swapaxes(0, 1), int(grads), completed
+    completed = min(
+        int(np.min(np.asarray(steps))), int(np.min(np.asarray(s2)))
+    )
+    return elapsed, np.asarray(hist).swapaxes(0, 1), int(g2), completed
 
 
 def bench_reference(rng_key, step_size, imm):

@@ -19,12 +19,24 @@ Comparability notes per config:
   not per-leapfrog throughput — is the comparable quantity.
 """
 import json
+import os
 import sys
 import time
 import types
 from typing import Callable
 
 import jax
+
+# honor JAX_PLATFORMS for CPU smoke runs: the environment's sitecustomize
+# pins the axon TPU platform at interpreter startup, silently overriding the
+# env var; the config call before first backend use still works (same
+# pattern as bench.py)
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,12 +54,21 @@ def _reference():
     return blackjax
 
 
-def _timeit(fn: Callable, *args) -> float:
-    """Compile/warm once, then best-of-3 (tunnel dispatch latency is noisy)."""
-    out = fn(*args)
+def _timeit(fn: Callable, variants) -> float:
+    """Compile/warm with ``variants[0]``, then best-of-the-rest (tunnel
+    dispatch latency is noisy).
+
+    EVERY ``variants[i]`` must be a DISTINCT argument tuple: the axon device
+    runtime result-caches a repeated identical dispatch (measured
+    2026-08-19: an exact repeat of the previous call returns in ~0 ms
+    without executing), so timing a repeat of the warm-up call measures
+    nothing. Statistically-identical variants (a different PRNG key, a
+    different init draw) keep the workload honest.
+    """
+    out = fn(*variants[0])
     jax.block_until_ready(jax.tree.leaves(out)[0])
     best = float("inf")
-    for _ in range(3):
+    for args in variants[1:]:
         t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(jax.tree.leaves(out)[0])
@@ -85,7 +106,6 @@ def config_hmc():
 
     def measure(algo_factory):
         algo = algo_factory()
-        states = jax.vmap(algo.init)(positions)
 
         @jax.jit
         def run(states):
@@ -95,7 +115,13 @@ def config_hmc():
 
             return jax.lax.scan(one, states, keys)
 
-        elapsed = _timeit(run, states)
+        variants = [
+            (jax.vmap(algo.init)(
+                0.5 * jax.random.normal(k, (num_chains, 100))
+            ),)
+            for k in jax.random.split(jax.random.key(8), 4)
+        ]
+        elapsed = _timeit(run, variants)
         return num_chains * num_steps / elapsed
 
     import blackjax_tpu
@@ -132,21 +158,26 @@ def _measure_nuts_best_engine(
     from blackjax_tpu.mcmc.nuts import build_fused_many_steps
 
     num_chains, d = positions.shape
-    keys = jax.random.split(sample_key, (num_steps, num_chains))
     algo = blackjax_tpu.nuts(logdensity_fn, **parameters)
     states = jax.vmap(algo.init)(positions)
+    # distinct key sets per timed call (see _timeit: a repeated identical
+    # dispatch is result-cached by the device runtime)
+    key_sets = [
+        jax.random.split(k, (num_steps, num_chains))
+        for k in jax.random.split(sample_key, 4)
+    ]
 
     # engine A: scan of the vmapped kernel (lockstep per step)
     @jax.jit
-    def run_scan(states):
+    def run_scan(states, keys):
         def one(states, ks):
             states, _ = jax.vmap(algo.step)(ks, states)
             return states, states.position
 
         return jax.lax.scan(one, states, keys)
 
-    scan_elapsed = _timeit(run_scan, states)
-    _, hist = run_scan(states)  # (steps, chains, d)
+    scan_elapsed = _timeit(run_scan, [(states, ks) for ks in key_sets])
+    _, hist = run_scan(states, key_sets[0])  # (steps, chains, d)
     scan_ess = _min_ess_per_sec(np.asarray(hist).swapaxes(0, 1), scan_elapsed)
 
     # engine B: the continuous runner (same keys per (step, chain) =>
@@ -162,8 +193,8 @@ def _measure_nuts_best_engine(
             unroll=4 if ON_TPU else 1,
         )
     )
-    fused_elapsed = _timeit(run_fused, keys, states)
-    _, fhist, _ = run_fused(keys, states)  # (chains, steps, d)
+    fused_elapsed = _timeit(run_fused, [(ks, states) for ks in key_sets])
+    _, fhist, _ = run_fused(key_sets[0], states)  # (chains, steps, d)
     fused_ess = _min_ess_per_sec(np.asarray(fhist), fused_elapsed)
 
     if fused_ess >= scan_ess:
@@ -192,18 +223,21 @@ def config_nuts_8schools():
         parameters, state = results
         algo = nuts_factory(parameters)
         states = jax.vmap(algo.init)(positions)
-        keys = jax.random.split(sample_key, (num_steps, num_chains))
+        key_sets = [
+            jax.random.split(k, (num_steps, num_chains))
+            for k in jax.random.split(sample_key, 4)
+        ]
 
         @jax.jit
-        def run(states):
+        def run(states, keys):
             def one(states, ks):
                 states, _ = jax.vmap(algo.step)(ks, states)
                 return states, states.position
 
             return jax.lax.scan(one, states, keys)
 
-        elapsed = _timeit(run, states)
-        _, hist = run(states)  # (steps, chains, d)
+        elapsed = _timeit(run, [(states, ks) for ks in key_sets])
+        _, hist = run(states, key_sets[0])  # (steps, chains, d)
         return _min_ess_per_sec(np.asarray(hist).swapaxes(0, 1), elapsed)
 
     from blackjax_tpu.adaptation.window_adaptation import window_adaptation
@@ -278,7 +312,11 @@ def config_sgld():
 
             return jax.lax.scan(one, w, (step_keys, batch_idx))[0]
 
-        elapsed = _timeit(run, w0)
+        variants = [
+            (0.01 * jax.random.normal(k, (54,)),)
+            for k in jax.random.split(jax.random.key(15), 4)
+        ]
+        elapsed = _timeit(run, variants)
         return num_steps / elapsed
 
     def module_sgld(module, grad_fn):
@@ -334,9 +372,8 @@ def config_smc():
         state = algo.init(init_particles)
         step = jax.jit(algo.step)
 
-        def full_run():
+        def full_run(k):
             s = algo.init(init_particles)
-            k = key
             i = 0
             while float(s.tempering_param) < 1.0 and i < 50:
                 k, sk = jax.random.split(k)
@@ -344,14 +381,15 @@ def config_smc():
                 i += 1
             return s, i
 
-        s, i = full_run()  # compile + correctness
+        s, i = full_run(key)  # compile + correctness
         # the run is short (~0.25 s) and paced by per-step host dispatch, so
         # single-shot timing is noisy over the device tunnel: take best-of-3
-        # (XLA cost analysis puts both libraries' compiled steps within 0.1%)
+        # with a DISTINCT key per run (identical dispatches are result-cached
+        # by the device runtime — see _timeit)
         elapsed = float("inf")
-        for _ in range(3):
+        for rk in jax.random.split(jax.random.key(18), 3):
             t0 = time.perf_counter()
-            s, i = full_run()
+            s, i = full_run(rk)
             elapsed = min(elapsed, time.perf_counter() - t0)
         return 1.0 / elapsed, elapsed, i
 
@@ -408,7 +446,11 @@ def config_cross_chain():
 
         _, grads = run(key, positions)
         jax.block_until_ready(grads)
-        elapsed = _timeit(run, key, positions)
+        # grads varies <1% across keys at 4,096 chains; the key-variant
+        # protocol keeps every timed dispatch distinct
+        elapsed = _timeit(
+            run, [(k, positions) for k in jax.random.split(key, 4)]
+        )
         return float(grads) / elapsed
 
     from blackjax_tpu.adaptation.chees_adaptation import chees_adaptation
@@ -509,14 +551,9 @@ def config_meads():
             res, _ = adapt.run(key, positions, num_steps)
             return jax.tree.leaves(res.state)[0].sum()
 
-        s = run(key, positions)
-        jax.block_until_ready(s)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            s = run(key, positions)
-            jax.block_until_ready(s)
-            best = min(best, time.perf_counter() - t0)
+        best = _timeit(
+            run, [(k, positions) for k in jax.random.split(key, 3)]
+        )
         return num_chains * num_steps / best
 
     from blackjax_tpu.adaptation.meads_adaptation import meads_adaptation
@@ -559,18 +596,21 @@ def config_horseshoe():
     def measure(nuts_factory):
         algo = nuts_factory(parameters)
         states = jax.vmap(algo.init)(positions)
-        keys = jax.random.split(sample_key, (num_steps, num_chains))
+        key_sets = [
+            jax.random.split(k, (num_steps, num_chains))
+            for k in jax.random.split(sample_key, 4)
+        ]
 
         @jax.jit
-        def run(states):
+        def run(states, keys):
             def one(states, ks):
                 states, _ = jax.vmap(algo.step)(ks, states)
                 return states, states.position
 
             return jax.lax.scan(one, states, keys)
 
-        elapsed = _timeit(run, states)
-        _, hist = run(states)  # (steps, chains, d)
+        elapsed = _timeit(run, [(states, ks) for ks in key_sets])
+        _, hist = run(states, key_sets[0])  # (steps, chains, d)
         return _min_ess_per_sec(np.asarray(hist).swapaxes(0, 1), elapsed)
 
     ours, engine = _measure_nuts_best_engine(
@@ -588,8 +628,176 @@ def config_horseshoe():
     }, ref
 
 
+def config_e2e_flagship():
+    """BASELINE.md's north-star pipeline END-TO-END: warmup + adapted-metric
+    sampling at 4,096 chains on the 100-dim hierarchical posterior, timed
+    as what a user pays — TOTAL wall seconds (warmup + sampling) under
+    sampling-phase min-ESS.
+
+    OUR side: multi-chain staged warmup (4,096 vmapped chains, shared
+    step size, ensemble welford_diag metric) then the continuous runner
+    with the adapted parameters; on TPU the dc Pallas machine also runs
+    (diag metric: exactly what the warmup produced) and the better engine
+    is reported. REFERENCE side: its canonical pipeline — single-chain
+    ``window_adaptation`` (``blackjax/adaptation/window_adaptation.py:296``)
+    then scan-of-vmapped NUTS at the same chain count. ESS measured with
+    OUR diagnostics on the first 8 coordinates for both (the flagship
+    exchangeability argument, ``bench.py:90-96``).
+    """
+    from blackjax_tpu.models.targets import hierarchical_gaussian
+
+    target = hierarchical_gaussian(100)
+    dim = 100
+    num_chains, num_steps, num_warmup = (4096, 256, 400) if ON_TPU else (64, 64, 200)
+    max_doublings, k_track = 8, 8
+    key = jax.random.key(37)
+    warm_key, sample_key, pos_key = jax.random.split(key, 3)
+    positions = 0.5 * jax.random.normal(pos_key, (num_chains, dim))
+
+    def _ess(hist_cs_k, elapsed):  # (chains, steps, k)
+        return _min_ess_per_sec(hist_cs_k, elapsed)
+
+    # ---- ours: staged multi-chain warmup -> best engine ------------------
+    import blackjax_tpu
+    from blackjax_tpu.adaptation.staged_adaptation import staged_adaptation
+    from blackjax_tpu.mcmc import nuts as nuts_mod
+    from blackjax_tpu.mcmc.nuts import build_fused_many_steps
+
+    warmup = staged_adaptation(
+        nuts_mod,
+        target.logdensity_fn,
+        n_chains=num_chains,
+        max_num_doublings=max_doublings,
+    )
+
+    def run_warmup(k):
+        res, _ = warmup.run(k, positions, num_warmup)
+        return res
+
+    res = run_warmup(warm_key)  # compile + the canonical parameters
+    jax.block_until_ready(jax.tree.leaves(res.state)[0])
+    t0 = time.perf_counter()
+    res2 = run_warmup(jax.random.fold_in(warm_key, 1))  # distinct dispatch
+    jax.block_until_ready(jax.tree.leaves(res2.state)[0])
+    our_warm_elapsed = time.perf_counter() - t0
+    step_size = float(res.parameters["step_size"])
+    imm = jnp.asarray(res.parameters["inverse_mass_matrix"])
+
+    algo = blackjax_tpu.nuts(
+        target.logdensity_fn,
+        step_size=step_size,
+        inverse_mass_matrix=imm,
+        max_num_doublings=max_doublings,
+    )
+    states = jax.vmap(algo.init)(positions)
+    key_sets = [
+        jax.random.split(k, (num_steps, num_chains))
+        for k in jax.random.split(sample_key, 4)
+    ]
+    oversub = 4 if (ON_TPU and num_chains % 4 == 0) else 1
+    run_fused = jax.jit(
+        build_fused_many_steps(
+            target.logdensity_fn,
+            step_size,
+            imm,
+            num_steps=num_steps,
+            max_num_doublings=max_doublings,
+            track_fn=lambda s: s.position[:k_track],
+            oversubscription=oversub,
+            unroll=4 if ON_TPU else 1,
+        )
+    )
+    fused_elapsed = _timeit(run_fused, [(ks, states) for ks in key_sets])
+    _, fhist, _ = run_fused(key_sets[0], states)
+    ours = _ess(np.asarray(fhist), fused_elapsed + our_warm_elapsed)
+    engine = "staged-warmup+continuous-runner"
+
+    if ON_TPU:
+        try:
+            from blackjax_tpu.ops.fused_nuts_dc import (
+                fused_nuts_run_dc,
+                make_hierarchical_target_dc,
+            )
+
+            dc_target = make_hierarchical_target_dc(dim)
+            run_dc = jax.jit(
+                lambda x: fused_nuts_run_dc(
+                    x,
+                    imm,
+                    step_size,
+                    target=dc_target,
+                    num_steps=num_steps,
+                    max_num_doublings=max_doublings,
+                    seed=7,
+                    num_track=k_track,
+                    tile_chains=128,
+                    budget=64 * num_steps,
+                    chunk=256,
+                )
+            )
+            pos_variants = [
+                (0.5 * jax.random.normal(k, (num_chains, dim)),)
+                for k in jax.random.split(pos_key, 4)
+            ]
+            dc_elapsed = _timeit(run_dc, pos_variants)
+            _, dhist, _, dsteps = run_dc(positions)
+            jax.block_until_ready(dhist)
+            if int(np.min(np.asarray(dsteps))) >= num_steps:
+                dc_val = _ess(np.asarray(dhist), dc_elapsed + our_warm_elapsed)
+                if dc_val > ours:
+                    ours, engine = dc_val, "staged-warmup+pallas-dc"
+        except Exception as exc:  # pragma: no cover
+            print(f"e2e dc engine failed: {exc}", file=sys.stderr)
+
+    def ref():
+        blackjax = _reference()
+
+        def ref_warmup(k):
+            wa = blackjax.window_adaptation(
+                blackjax.nuts,
+                target.logdensity_fn,
+                max_num_doublings=max_doublings,
+            )
+            (state, parameters), _ = wa.run(k, jnp.zeros(dim), num_warmup)
+            return parameters
+
+        parameters = ref_warmup(warm_key)  # compile + canonical parameters
+        jax.block_until_ready(parameters["step_size"])
+        t0 = time.perf_counter()
+        p2 = ref_warmup(jax.random.fold_in(warm_key, 1))
+        jax.block_until_ready(p2["step_size"])
+        ref_warm_elapsed = time.perf_counter() - t0
+
+        # the reference returns extra_parameters (incl. max_num_doublings)
+        # inside `parameters`
+        ref_algo = blackjax.nuts(target.logdensity_fn, **parameters)
+        ref_states = jax.vmap(ref_algo.init)(positions)
+
+        @jax.jit
+        def run(states, keys):
+            def one(states, ks):
+                states, _ = jax.vmap(ref_algo.step)(ks, states)
+                return states, states.position[:, :k_track]
+
+            return jax.lax.scan(one, states, keys)
+
+        elapsed = _timeit(run, [(ref_states, ks) for ks in key_sets])
+        _, hist = run(ref_states, key_sets[0])  # (steps, chains, k)
+        return _ess(
+            np.asarray(hist).swapaxes(0, 1), elapsed + ref_warm_elapsed
+        )
+
+    return {
+        "value": ours,
+        "unit": "min-ESS/sec incl. warmup",
+        "engine": engine,
+        "warmup_sec": round(our_warm_elapsed, 3),
+    }, ref
+
+
 CONFIGS = {
     "hmc": config_hmc,
+    "e2e_flagship": config_e2e_flagship,
     "nuts_8schools": config_nuts_8schools,
     "sgld": config_sgld,
     "sgld_chains": config_sgld_chains,
