@@ -185,13 +185,16 @@ def _nuts_kernel_dc(
     n_params,
     n_track,
     divergence_threshold,
+    metric_kind="diag",
+    n_metric=2,
     disable=(),
 ):
     scalars = refs[0]  # SMEM (1,) f32: step_size
     seed_ref = refs[1]  # SMEM (1,) int32
-    x_ref, imm_ref, sigma_ref = refs[2:5]
-    param_refs = refs[5 : 5 + n_params]
-    out_refs = refs[5 + n_params :]
+    x_ref = refs[2]
+    metric_refs = refs[3 : 3 + n_metric]
+    param_refs = refs[3 + n_metric : 3 + n_metric + n_params]
+    out_refs = refs[3 + n_metric + n_params :]
     xacc_ref, steps_ref, grads_ref = out_refs[:3]
     hist_refs = out_refs[3:]
 
@@ -202,9 +205,48 @@ def _nuts_kernel_dc(
 
     rowid = jax.lax.broadcasted_iota(jnp.int32, (D, T), 0)
     mask = (rowid < d).astype(jnp.float32)  # (D, T) dim mask
-    imm = imm_ref[:] * mask  # zero pad sublanes kill all pad traffic
-    sigma_m = sigma_ref[:] * mask
     params = tuple(p[:] for p in param_refs)
+
+    def _mm(a, b, ca, cb):
+        return jax.lax.dot_general(
+            a,
+            b,
+            dimension_numbers=(((ca,), (cb,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # ---- metric: M^{-1} matvec + momentum sampling, three spellings ------
+    # diag keeps the original zero-extra-carry form; dense/low-rank carry
+    # the w = M^{-1} m companions of every stored momentum so the turning
+    # checks stay dot products (no matmul per checkpoint slot per leaf)
+    if metric_kind == "diag":
+        imm = metric_refs[0][:] * mask  # zero pad sublanes kill pad traffic
+        sigma_m = metric_refs[1][:] * mask
+        imm_mv = lambda m: imm * m
+        sample_m = lambda z: sigma_m * z
+    elif metric_kind == "dense":
+        imm_mat = metric_refs[0][:]  # (D, D), zero-padded beyond d
+        chol_mass = metric_refs[1][:]  # C with C C^T = M, zero-padded
+        imm_mv = lambda m: _mm(imm_mat, m, 1, 0)
+        sample_m = lambda z: _mm(chol_mass, z, 1, 0)
+    elif metric_kind == "low_rank":
+        # M^{-1} = D (I + U (Lam - I) U^T) D  (metrics.py:93-128), O(dk)
+        sigma_v = metric_refs[0][:] * mask
+        inv_sigma_v = metric_refs[1][:] * mask
+        U_op = metric_refs[2][:]  # (D, k_pad), zero-padded
+        lam_m1 = metric_refs[3][:]  # (k_pad, T) lane-broadcast Lam - 1
+        isl_m1 = metric_refs[4][:]  # (k_pad, T) 1/sqrt(Lam) - 1
+
+        def _lrmv(y, s_m1):
+            t = _mm(U_op, y, 0, 0)  # (k_pad, T)
+            return y + _mm(U_op, s_m1 * t, 1, 0)
+
+        imm_mv = lambda m: sigma_v * _lrmv(sigma_v * m, lam_m1)
+        # m = M^{1/2} z = D^{-1} B z with B = I + U(Lam^{-1/2} - I)U^T
+        sample_m = lambda z: inv_sigma_v * _lrmv(z, isl_m1)
+    else:  # pragma: no cover - guarded by the runner
+        raise ValueError(f"unknown metric_kind {metric_kind!r}")
+    carry_w = metric_kind != "diag"
 
     # lane-replicated global chain ids (pure iota + the grid coordinate)
     chain_full = (
@@ -218,14 +260,10 @@ def _nuts_kernel_dc(
     def dot_d(a, b):
         return jnp.sum(a * b, axis=0, keepdims=True)  # (1, T)
 
-    def kinetic(m):
-        return 0.5 * dot_d(m * imm, m)
-
-    def turning(m_left, m_right, m_sum):
+    def turning_w(w_left, w_right, m_left, m_right, m_sum):
+        """Generalized U-turn on precomputed w = M^{-1} m companions."""
         rho = m_sum - 0.5 * (m_left + m_right)
-        return (dot_d(imm * m_left, rho) <= 0.0) | (
-            dot_d(imm * m_right, rho) <= 0.0
-        )
+        return (dot_d(w_left, rho) <= 0.0) | (dot_d(w_right, rho) <= 0.0)
 
     # rows broadcast across sublanes natively: select IS jnp.where
     sel = jnp.where
@@ -282,6 +320,13 @@ def _nuts_kernel_dc(
     for i in range(max_depth):
         state0[f"ckpt_m{i}"] = zero_v
         state0[f"ckpt_s{i}"] = zero_v
+        if carry_w:
+            state0[f"ckpt_w{i}"] = zero_v
+    if carry_w:
+        # w = M^{-1} m companions of the trajectory endpoints (diag
+        # recomputes them as imm * m — cheaper than carrying)
+        state0["left_w"] = zero_v
+        state0["right_w"] = zero_v
     keys = list(state0.keys())
 
     def leaf_step(_, carry):
@@ -297,7 +342,7 @@ def _nuts_kernel_dc(
         start = s["done"] & live
         base_row = chain_row * S + s["steps"]  # (1, T) per-(chain, step) id
         if "rng" in disable:  # attribution only: NOT a valid sampler
-            fresh_m = sigma_m * jnp.cos(s["steps"].astype(jnp.float32))
+            z = mask * jnp.cos(s["steps"].astype(jnp.float32))
         else:
             base_full = chain_full * S + s["steps"]  # row broadcast: native
             b1, b2 = _threefry2x32(
@@ -312,14 +357,12 @@ def _nuts_kernel_dc(
             u2 = (b2 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (
                 2.0**-24
             )
-            fresh_m = (
-                sigma_m
-                * jnp.sqrt(-2.0 * jnp.log(u1))
-                * jnp.cos(6.283185307179586 * u2)
-            )
+            z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(6.283185307179586 * u2)
+        fresh_m = sample_m(z)
 
-        h0_new = -s["acc_ld"] + kinetic(fresh_m)
-        for name, fresh in [
+        w_fresh = imm_mv(fresh_m)
+        h0_new = -s["acc_ld"] + 0.5 * dot_d(w_fresh, fresh_m)
+        refresh = [
             ("cur_x", s["acc_x"]), ("cur_m", fresh_m), ("cur_g", s["acc_g"]),
             ("cur_ld", s["acc_ld"]),
             ("left_x", s["acc_x"]), ("left_m", fresh_m), ("left_g", s["acc_g"]),
@@ -329,7 +372,10 @@ def _nuts_kernel_dc(
             ("msum", fresh_m), ("sub_msum", zero_v),
             ("prop_x", s["acc_x"]), ("prop_g", s["acc_g"]), ("prop_ld", s["acc_ld"]),
             ("sub_x", s["acc_x"]), ("sub_g", s["acc_g"]), ("sub_ld", s["acc_ld"]),
-        ]:
+        ]
+        if carry_w:
+            refresh += [("left_w", w_fresh), ("right_w", w_fresh)]
+        for name, fresh in refresh:
             s[name] = sel(start, fresh, s[name])
         for name, fresh in [
             ("prop_w", zero_s), ("prop_slpa", neg_inf_row),
@@ -358,11 +404,15 @@ def _nuts_kernel_dc(
         # ---- one leapfrog (velocity verlet, diag metric) ---------------
         d_eps = direction * eps  # (1, T) row; broadcasts natively
         m_half = cur_m + 0.5 * d_eps * cur_g
-        new_x = cur_x + d_eps * (imm * m_half)
+        new_x = cur_x + d_eps * imm_mv(m_half)
         new_ld, new_g = value_and_grad(new_x)
         new_m = m_half + 0.5 * d_eps * new_g
 
-        energy = -new_ld + kinetic(new_m)
+        # w_new = M^{-1} new_m: the kinetic energy, the right side of every
+        # checkpoint turning check, and (dense/low-rank) the stored endpoint
+        # companions all share this one application
+        w_new = imm_mv(new_m)
+        energy = -new_ld + 0.5 * dot_d(w_new, new_m)
         delta = s["h0"] - energy
         delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
         leaf_w = delta
@@ -396,15 +446,19 @@ def _nuts_kernel_dc(
         # the right-momentum factor imm * new_m shared too — hoisting both
         # cuts the slot loop from ~8 to ~5 vector ops per slot
         rho_base = sub_msum - 0.5 * new_m
-        w_new = imm * new_m
         subtree_turning = fbool
         for i in range(0 if "ckpt" in disable else max_depth):
             w_i = is_even & (idx_max == i) & active  # (1, T)
             ckm = sel(w_i, new_m, s[f"ckpt_m{i}"])
             cks = sel(w_i, sub_msum, s[f"ckpt_s{i}"])
+            if carry_w:  # slot's M^{-1} m, written once at slot-write time
+                ckw = sel(w_i, w_new, s[f"ckpt_w{i}"])
+                s[f"ckpt_w{i}"] = ckw
+            else:
+                ckw = imm * ckm
             chk = (i >= idx_min) & (i <= idx_max) & ~is_even
             rho = rho_base - cks + 0.5 * ckm
-            slot_turn = (dot_d(imm * ckm, rho) <= 0.0) | (
+            slot_turn = (dot_d(ckw, rho) <= 0.0) | (
                 dot_d(w_new, rho) <= 0.0
             )
             subtree_turning = subtree_turning | (chk & slot_turn)
@@ -427,6 +481,12 @@ def _nuts_kernel_dc(
         right_m = sel(closing & fwd, new_m, s["right_m"])
         right_g = sel(closing & fwd, new_g, s["right_g"])
         right_ld = sel(closing & fwd, new_ld, s["right_ld"])
+        if carry_w:
+            left_w = sel(closing & ~fwd, w_new, s["left_w"])
+            right_w = sel(closing & fwd, w_new, s["right_w"])
+            s["left_w"], s["right_w"] = left_w, right_w
+        else:
+            left_w, right_w = imm * left_m, imm * right_m
 
         # trajectory-level proposal merge (biased toward the new subtree);
         # an aborted subtree contributes acceptance statistics only
@@ -441,7 +501,7 @@ def _nuts_kernel_dc(
         prop_w = sel(closing, sel(aborted, s["prop_w"], merged_pw), s["prop_w"])
         prop_slpa = sel(closing, merged_pslpa, s["prop_slpa"])
 
-        full_turn = closing & turning(left_m, right_m, msum)
+        full_turn = closing & turning_w(left_w, right_w, left_m, right_m, msum)
 
         depth = sel(closing, s["depth"] + 1, s["depth"])
         leaf_out = sel(closing, zero_i, leaf_next)
@@ -534,10 +594,22 @@ def fused_nuts_run_dc(
     transposed ``(dim, chains)`` tiles.
 
     Same contract as :func:`fused_nuts.fused_nuts_run`: ``positions`` is
-    ``(C, d)`` f32, ``inverse_mass_matrix`` a diagonal ``(d,)``; returns
-    ``(final_positions (C, d), history (C, num_steps, num_track),
-    total_grads, steps (C,))``. ``steps[c] < num_steps`` means the
-    iteration ``budget`` ran out before chain ``c`` finished.
+    ``(C, d)`` f32; returns ``(final_positions (C, d), history
+    (C, num_steps, num_track), total_grads, steps (C,))``.
+    ``steps[c] < num_steps`` means the iteration ``budget`` ran out before
+    chain ``c`` finished.
+
+    ``inverse_mass_matrix`` accepts the full adapted-metric family
+    (reference ``blackjax/mcmc/metrics.py:180`` dispatch):
+
+    - ``(d,)`` diagonal — the original zero-extra-carry path;
+    - ``(d, d)`` dense — ``M^{-1}`` matvecs and the ``chol(M)`` momentum
+      factor become ``(d, d) x (d, T)`` MXU contractions (2 per leapfrog);
+      the U-turn checks stay dot products by carrying the ``w = M^{-1} m``
+      companion of every stored momentum (endpoints + checkpoint slots);
+    - :class:`~blackjax_tpu.mcmc.metrics.LowRankInverseMassMatrix` —
+      ``M^{-1} = D(I + U(Lam-I)U^T)D`` in O(dk): two skinny ``(d, k)``
+      contractions per matvec, same carried-``w`` scheme.
     """
     C, d = positions.shape
     if d != target.dim:
@@ -561,13 +633,63 @@ def fused_nuts_run_dc(
         v = jnp.pad(jnp.asarray(vec, jnp.float32), (0, d_pad - len(vec)))
         return jnp.broadcast_to(v[:, None], (d_pad, tile_chains))
 
-    imm_vec = jnp.broadcast_to(
-        jnp.asarray(inverse_mass_matrix, jnp.float32), (d,)
-    )
-    imm = _row_param(imm_vec)
-    sigma = _row_param(
-        jnp.sqrt(jnp.where(imm_vec > 0.0, 1.0 / jnp.where(imm_vec > 0.0, imm_vec, 1.0), 0.0))
-    )
+    # ---- metric operands: diag (d,), dense (d, d), or low-rank pytree ----
+    from blackjax_tpu.mcmc.metrics import LowRankInverseMassMatrix
+
+    def _pad_mat(a, rows, cols):
+        a = jnp.asarray(a, jnp.float32)
+        return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
+
+    if isinstance(inverse_mass_matrix, LowRankInverseMassMatrix):
+        metric_kind = "low_rank"
+        sig = jnp.asarray(inverse_mass_matrix.sigma, jnp.float32)
+        U = jnp.asarray(inverse_mass_matrix.U, jnp.float32)
+        lam = jnp.asarray(inverse_mass_matrix.lam, jnp.float32)
+        k = U.shape[1]
+        k_pad = _round_up(max(k, 1), _SUBLANE)
+
+        def _k_row(vec):  # (k,) -> (k_pad, T), zero-padded (pad cols of U
+            # are zero, so a zero pad scale keeps the algebra exact)
+            v = jnp.pad(vec, (0, k_pad - k))
+            return jnp.broadcast_to(v[:, None], (k_pad, tile_chains))
+
+        metric_ops = [
+            _row_param(sig),
+            _row_param(1.0 / sig),
+            _pad_mat(U, d_pad, k_pad),
+            _k_row(lam - 1.0),
+            _k_row(1.0 / jnp.sqrt(lam) - 1.0),
+        ]
+    elif jnp.ndim(inverse_mass_matrix) == 2:
+        metric_kind = "dense"
+        imm_d = jnp.asarray(inverse_mass_matrix, jnp.float32)
+        # C with C C^T = M (the momentum-sampling factor): M^{-1} = L L^T
+        # => C = L^{-T} (metrics.py _sqrt_factors)
+        L = jnp.linalg.cholesky(imm_d)
+        chol_mass = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(d, dtype=jnp.float32), lower=True, trans=True
+        )
+        metric_ops = [
+            _pad_mat(imm_d, d_pad, d_pad),
+            _pad_mat(chol_mass, d_pad, d_pad),
+        ]
+    else:
+        metric_kind = "diag"
+        imm_vec = jnp.broadcast_to(
+            jnp.asarray(inverse_mass_matrix, jnp.float32), (d,)
+        )
+        metric_ops = [
+            _row_param(imm_vec),
+            _row_param(
+                jnp.sqrt(
+                    jnp.where(
+                        imm_vec > 0.0,
+                        1.0 / jnp.where(imm_vec > 0.0, imm_vec, 1.0),
+                        0.0,
+                    )
+                )
+            ),
+        ]
 
     def _prep_param(p):
         """1-D vectors: sublane-padded, lane-broadcast. 2-D matrices:
@@ -604,6 +726,8 @@ def fused_nuts_run_dc(
         n_params=len(padded_params),
         n_track=num_track,
         divergence_threshold=divergence_threshold,
+        metric_kind=metric_kind,
+        n_metric=len(metric_ops),
         disable=tuple(
             f for f in os.environ.get("FNUTS_DISABLE", "").split(",") if f
         ),
@@ -611,9 +735,6 @@ def fused_nuts_run_dc(
 
     tile_spec = pl.BlockSpec(
         (d_pad, tile_chains), lambda i: (0, i), memory_space=pltpu.VMEM
-    )
-    rep_spec = pl.BlockSpec(
-        (d_pad, tile_chains), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     row_spec = pl.BlockSpec(
         (1, tile_chains), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -647,8 +768,10 @@ def fused_nuts_run_dc(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             tile_spec,
-            rep_spec,
-            rep_spec,
+        ]
+        + [
+            pl.BlockSpec(op.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for op in metric_ops
         ]
         + param_specs,
         out_specs=out_specs,
@@ -658,8 +781,7 @@ def fused_nuts_run_dc(
         jnp.array([step_size], jnp.float32),
         jnp.array([seed], jnp.int32),
         x,
-        imm,
-        sigma,
+        *metric_ops,
         *padded_params,
     )
     acc_x, steps, grads = outs[0], outs[1], outs[2]

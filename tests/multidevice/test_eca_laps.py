@@ -276,7 +276,11 @@ def test_laps_key_style(mesh, rng_key, use_typed_key):
     if use_typed_key:
         run_key = rng_key
     else:
-        run_key = jax.random.PRNGKey(int(jax.random.bits(rng_key)))
+        # explicit uint32: under x64 `bits` defaults to uint64 and a
+        # top-bit draw overflows PRNGKey's int64 seed (~50% of daily seeds)
+        run_key = jax.random.PRNGKey(
+            int(jax.random.bits(rng_key, dtype=jnp.uint32))
+        )
 
     _, _, _, final_state = laps(
         logdensity,
