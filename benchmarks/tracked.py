@@ -617,6 +617,87 @@ def config_horseshoe():
         target.logdensity_fn, parameters, positions, sample_key, num_steps
     )
 
+    extras = {}
+    if ON_TPU:
+        # The dc Pallas machine on the SAME adapted posterior: it tracks 8
+        # of 404 coordinates (VMEM history), so min-ESS-over-all-dims is
+        # not its metric — report leapfrog-grads/s against the XLA
+        # continuous runner at identical (step size, metric). ESS/grad is
+        # equal in distribution across engines (same algorithm,
+        # documented-equivalent RNG streams), so this ratio is the
+        # throughput story for the matmul class.
+        try:
+            from blackjax_tpu.mcmc.nuts import build_fused_many_steps
+            from blackjax_tpu.ops.fused_nuts_dc import fused_nuts_run_dc
+            from blackjax_tpu.ops.targets_dc import (
+                horseshoe_dc_perm,
+                make_finnish_horseshoe_target_dc,
+            )
+
+            dc_target = make_finnish_horseshoe_target_dc()
+            to_dc, _ = horseshoe_dc_perm(200)
+            imm_dc = jnp.asarray(parameters["inverse_mass_matrix"])[to_dc]
+            eps = float(parameters["step_size"])
+            n_dc = 128  # one full tile
+            dc_pos = [
+                0.05 * jax.random.normal(k, (n_dc, d))[:, to_dc]
+                for k in jax.random.split(jax.random.key(33), 2)
+            ]
+            run_dc = jax.jit(
+                lambda x: fused_nuts_run_dc(
+                    x,
+                    imm_dc,
+                    eps,
+                    target=dc_target,
+                    num_steps=64,
+                    max_num_doublings=10,
+                    seed=7,
+                    num_track=8,
+                    budget=1100 * 64,
+                    chunk=256,
+                )
+            )
+            out = run_dc(dc_pos[0])
+            jax.block_until_ready(out[1])
+            t0 = time.perf_counter()
+            _, h2, g2, s2 = run_dc(dc_pos[1])
+            jax.block_until_ready(h2)
+            dc_gps = float(g2) / (time.perf_counter() - t0)
+
+            algo = blackjax_tpu.nuts(target.logdensity_fn, **parameters)
+            states = jax.vmap(algo.init)(dc_pos[0][:, np.argsort(to_dc)])
+            keysets = [
+                jax.vmap(lambda kk: jax.random.split(kk, n_dc))(
+                    jax.random.split(k, 64)
+                )
+                for k in jax.random.split(jax.random.key(34), 2)
+            ]
+            run_x = jax.jit(
+                build_fused_many_steps(
+                    target.logdensity_fn,
+                    eps,
+                    parameters["inverse_mass_matrix"],
+                    num_steps=64,
+                    max_num_doublings=10,
+                    track_fn=lambda s: s.position[:8],
+                    oversubscription=4,
+                    unroll=4,
+                )
+            )
+            out = run_x(keysets[0], states)
+            jax.block_until_ready(out[1])
+            t0 = time.perf_counter()
+            _, hx, gx = run_x(keysets[1], states)
+            jax.block_until_ready(hx)
+            runner_gps = float(gx) / (time.perf_counter() - t0)
+            extras = {
+                "pallas_dc_grads_per_sec": round(dc_gps, 1),
+                "runner_grads_per_sec": round(runner_gps, 1),
+                "pallas_dc_vs_runner": round(dc_gps / runner_gps, 2),
+            }
+        except Exception as exc:  # pragma: no cover
+            print(f"horseshoe dc extras failed: {exc}", file=sys.stderr)
+
     def ref():
         blackjax = _reference()
         return measure(lambda p: blackjax.nuts(target.logdensity_fn, **p))
@@ -625,6 +706,7 @@ def config_horseshoe():
         "value": ours,
         "unit": "min-ESS/sec (horseshoe d=404)",
         "engine": engine,
+        **extras,
     }, ref
 
 

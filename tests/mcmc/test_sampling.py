@@ -88,6 +88,44 @@ def _algorithms(rng_key):
             ),
             3000,
         ),
+        "barker": (
+            blackjax_tpu.barker(normal_logdensity, step_size=1.0),
+            4000,
+        ),
+        "rmh": (
+            blackjax_tpu.rmh(
+                normal_logdensity,
+                proposal_generator=lambda key, pos: pos
+                + 1.2 * jax.random.normal(key, (4,)),
+            ),
+            6000,
+        ),
+        "irmh": (
+            blackjax_tpu.irmh(
+                normal_logdensity,
+                # over-dispersed independent proposal (scale 3 > true 2)
+                proposal_distribution=lambda key: TRUE_LOC
+                + 3.0 * jax.random.normal(key, (4,)),
+            ),
+            6000,
+        ),
+        "rmhmc": (
+            blackjax_tpu.rmhmc(
+                normal_logdensity,
+                step_size=0.5,
+                mass_matrix=lambda pos: jnp.eye(4) / TRUE_SCALE**2,
+                num_integration_steps=8,
+            ),
+            2000,
+        ),
+        "slice": (
+            blackjax_tpu.slice_sampling(normal_logdensity, width=2.0),
+            4000,
+        ),
+        "coordinate_slice": (
+            blackjax_tpu.coordinate_slice(normal_logdensity, initial_widths=2.0),
+            2000,
+        ),
     }
 
 
@@ -104,6 +142,12 @@ def _algorithms(rng_key):
         "adjusted_mclmc",
         "dynamic_hmc",
         "adjusted_mclmc_dynamic",
+        "barker",
+        "rmh",
+        "irmh",
+        "rmhmc",
+        "slice",
+        "coordinate_slice",
     ],
 )
 def test_univariate_normal_moments(name, rng_key):
@@ -118,6 +162,47 @@ def test_univariate_normal_moments(name, rng_key):
     samples = np.asarray(states.position)[burn:].reshape(-1)
     assert abs(samples.mean() - TRUE_LOC) < 0.25, f"{name}: mean {samples.mean()}"
     assert abs(samples.std() - TRUE_SCALE) < 0.5, f"{name}: std {samples.std()}"
+
+
+def test_elliptical_slice_univariate_moments(rng_key):
+    """Elliptical slice with a flat likelihood samples the Gaussian prior
+    exactly (the reference's univariate-normal case,
+    ``tests/mcmc/test_sampling.py:1149-1160``)."""
+    algo = blackjax_tpu.elliptical_slice(
+        lambda x: jnp.zeros(()),
+        mean=jnp.full(4, TRUE_LOC),
+        cov=jnp.full(4, TRUE_SCALE**2),
+    )
+    state = algo.init(jnp.full(4, TRUE_LOC))
+    _, (states, _) = run_inference_algorithm(
+        rng_key, algo, 4000, initial_state=state
+    )
+    samples = np.asarray(states.position)[500:].reshape(-1)
+    assert abs(samples.mean() - TRUE_LOC) < 0.25, samples.mean()
+    assert abs(samples.std() - TRUE_SCALE) < 0.5, samples.std()
+
+
+def test_orbital_hmc_univariate_moments(rng_key):
+    """Periodic-orbital HMC: weighted orbit samples recover the moments
+    (the reference's case, ``tests/mcmc/test_sampling.py:1190-1214``)."""
+    algo = blackjax_tpu.orbital_hmc(
+        normal_logdensity,
+        step_size=0.4,
+        inverse_mass_matrix=jnp.full(4, TRUE_SCALE**2),
+        period=10,
+    )
+    state = algo.init(jnp.full(4, TRUE_LOC))
+    _, (states, _) = run_inference_algorithm(
+        rng_key, algo, 3000, initial_state=state
+    )
+    burn = 500
+    positions = np.asarray(states.positions)[burn:]  # (n, period, d)
+    weights = np.asarray(states.weights)[burn:]  # (n, period)
+    w = weights / weights.sum()
+    mean = (w[..., None] * positions).sum((0, 1)).mean()
+    var = (w[..., None] * positions**2).sum((0, 1)).mean() - mean**2
+    assert abs(mean - TRUE_LOC) < 0.25, mean
+    assert abs(np.sqrt(var) - TRUE_SCALE) < 0.5, var
 
 
 def test_irmh_exact_on_gaussian(rng_key):
