@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+from benchmarks import timing  # noqa: E402 — axon-safe timing protocol
 # persistent compilation cache: repeat runs skip the multi-minute XLA builds
 try:
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
@@ -120,8 +122,7 @@ def _measure(step_fn, init_states, rng_key, num_chains, num_steps):
     """Scan `num_steps` vmapped kernel applications; return
     (elapsed_seconds, positions (steps, chains, k), total_grad_evals)."""
 
-    @jax.jit
-    def run(key, states):
+    def _run(key, states):
         def one(states, key):
             keys = jax.random.split(key, num_chains)
             states, infos = step_fn(keys, states)
@@ -134,19 +135,24 @@ def _measure(step_fn, init_states, rng_key, num_chains, num_steps):
     def infos_steps(infos):
         return jnp.sum(infos.num_integration_steps)
 
-    # compile + the canonical (pinned) sample stream for the ESS estimate
-    final, hist, nsteps = run(rng_key, init_states)
+    # the canonical (pinned) sample stream for the ESS estimate (untimed)
+    _, hist, _ = jax.jit(_run)(rng_key, init_states)
     jax.block_until_ready(hist)
-    # timed run under a DISTINCT key: the axon runtime result-caches a
-    # repeated identical dispatch (measured 2026-08-19: an exact repeat of
-    # the previous call returns in ~0 ms without executing), so timing a
-    # repeat of the compile call measures nothing. The variant workload is
-    # statistically identical; its own grad count pairs with its elapsed.
-    t0 = time.perf_counter()
-    _, h2, n2 = run(jax.random.fold_in(rng_key, 1), init_states)
-    jax.block_until_ready(h2)
-    elapsed = time.perf_counter() - t0
-    return elapsed, np.asarray(hist), int(np.sum(np.asarray(n2)))
+
+    # timed runs under DISTINCT keys, reduced on device to (grads, checksum)
+    # and pulled to host — the axon-safe protocol (benchmarks/timing.py)
+    @jax.jit
+    def run_timed(key, states):
+        final, h, nsteps = _run(key, states)
+        return jnp.stack(
+            [jnp.sum(nsteps).astype(jnp.float32), timing.checksum((final, h))]
+        )
+
+    variants = [
+        (jax.random.fold_in(rng_key, i), init_states) for i in range(4)
+    ]
+    elapsed, vals = timing.timeit_pull(run_timed, variants)
+    return elapsed, np.asarray(hist), int(vals[0])
 
 
 def _ess_per_dim(hist):
@@ -213,34 +219,40 @@ def bench_ours_fused(rng_key, step_size, imm):
     states = jax.vmap(algo.init)(positions)
 
     # exactly the keys the scan path uses: per step, per chain
-    step_keys = jax.random.split(rng_key, NUM_STEPS)
-    rng_keys = jax.vmap(lambda k: jax.random.split(k, NUM_CHAINS))(step_keys)
-    # distinct key set for the timed dispatch (see _measure: the device
-    # runtime result-caches a repeated identical call)
-    step_keys2 = jax.random.split(jax.random.fold_in(rng_key, 1), NUM_STEPS)
-    rng_keys2 = jax.vmap(lambda k: jax.random.split(k, NUM_CHAINS))(step_keys2)
+    def _keys(key):
+        step_keys = jax.random.split(key, NUM_STEPS)
+        return jax.vmap(lambda k: jax.random.split(k, NUM_CHAINS))(step_keys)
 
-    run = jax.jit(
-        build_fused_many_steps(
-            hierarchical_logdensity,
-            step_size,
-            imm,
-            num_steps=NUM_STEPS,
-            max_num_doublings=MAX_DOUBLINGS,
-            track_fn=lambda s: s.position[:TRACKED_DIMS],
-            oversubscription=OVERSUB if NUM_CHAINS % OVERSUB == 0 else 1,
-            unroll=UNROLL,
-            restart_every=min(RESTART_EVERY, UNROLL),
-        )
+    run_impl = build_fused_many_steps(
+        hierarchical_logdensity,
+        step_size,
+        imm,
+        num_steps=NUM_STEPS,
+        max_num_doublings=MAX_DOUBLINGS,
+        track_fn=lambda s: s.position[:TRACKED_DIMS],
+        oversubscription=OVERSUB if NUM_CHAINS % OVERSUB == 0 else 1,
+        unroll=UNROLL,
+        restart_every=min(RESTART_EVERY, UNROLL),
     )
-    final, hist, grads = run(rng_keys, states)  # compile + pinned stream
+    # compile + the pinned stream for the ESS estimate (untimed)
+    _, hist, _ = jax.jit(run_impl)(_keys(rng_key), states)
     jax.block_until_ready(hist)
-    t0 = time.perf_counter()
-    _, h2, g2 = run(rng_keys2, states)
-    jax.block_until_ready(h2)
-    elapsed = time.perf_counter() - t0
+
+    @jax.jit
+    def run_timed(keys, states):
+        final, h, grads = run_impl(keys, states)
+        return jnp.stack(
+            [jnp.asarray(grads, jnp.float32), timing.checksum((final, h))]
+        )
+
+    # distinct key sets per timed dispatch (axon result cache); on-device
+    # checksum pull (axon early return) — see benchmarks/timing.py
+    variants = [
+        (_keys(jax.random.fold_in(rng_key, i)), states) for i in range(4)
+    ]
+    elapsed, vals = timing.timeit_pull(run_timed, variants)
     # hist: (chains, steps, k) -> (steps, chains, k) for _ess_per_dim
-    return elapsed, np.asarray(hist).swapaxes(0, 1), int(g2)
+    return elapsed, np.asarray(hist).swapaxes(0, 1), int(vals[0])
 
 
 def bench_ours_pallas(rng_key, step_size, imm):
@@ -256,10 +268,13 @@ def bench_ours_pallas(rng_key, step_size, imm):
     )
 
     target = make_hierarchical_target_dc(DIM)
-    init_keys = jax.random.split(rng_key, NUM_CHAINS)
-    positions = 0.5 * jax.vmap(lambda k: jax.random.normal(k, (DIM,)))(init_keys)
-    run = jax.jit(
-        lambda x: fused_nuts_run_dc(
+
+    def _positions(key):
+        init_keys = jax.random.split(key, NUM_CHAINS)
+        return 0.5 * jax.vmap(lambda k: jax.random.normal(k, (DIM,)))(init_keys)
+
+    def run_impl(x):
+        return fused_nuts_run_dc(
             x,
             jnp.asarray(imm),
             step_size,
@@ -272,22 +287,30 @@ def bench_ours_pallas(rng_key, step_size, imm):
             budget=64 * NUM_STEPS,
             chunk=256,
         )
-    )
-    fx, hist, grads, steps = run(positions)  # compile + canonical stream
+
+    # compile + the canonical stream for the ESS estimate (untimed)
+    fx, hist, grads, steps = jax.jit(run_impl)(_positions(rng_key))
     jax.block_until_ready(hist)
-    # timed dispatch must differ from the compile call (runtime result
-    # cache): a fresh init draw is a statistically identical workload
-    positions2 = 0.5 * jax.vmap(lambda k: jax.random.normal(k, (DIM,)))(
-        jax.random.split(jax.random.fold_in(rng_key, 1), NUM_CHAINS)
-    )
-    t0 = time.perf_counter()
-    _, h2, g2, s2 = run(positions2)
-    jax.block_until_ready(h2)
-    elapsed = time.perf_counter() - t0
-    completed = min(
-        int(np.min(np.asarray(steps))), int(np.min(np.asarray(s2)))
-    )
-    return elapsed, np.asarray(hist).swapaxes(0, 1), int(g2), completed
+
+    @jax.jit
+    def run_timed(x):
+        fx, h, g, s = run_impl(x)
+        return jnp.stack(
+            [
+                jnp.asarray(g, jnp.float32),
+                jnp.min(s).astype(jnp.float32),
+                timing.checksum((fx, h)),
+            ]
+        )
+
+    # distinct init draws per timed dispatch (runtime result cache);
+    # on-device checksum pull (early return) — see benchmarks/timing.py
+    variants = [
+        (_positions(jax.random.fold_in(rng_key, i)),) for i in range(4)
+    ]
+    elapsed, vals = timing.timeit_pull(run_timed, variants)
+    completed = min(int(np.min(np.asarray(steps))), int(vals[1]))
+    return elapsed, np.asarray(hist).swapaxes(0, 1), int(vals[0]), completed
 
 
 def bench_reference(rng_key, step_size, imm):

@@ -40,6 +40,7 @@ if os.environ.get("JAX_PLATFORMS"):
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks import timing
 
 ON_TPU = jax.devices()[0].platform != "cpu"
 
@@ -55,25 +56,19 @@ def _reference():
 
 
 def _timeit(fn: Callable, variants) -> float:
-    """Compile/warm with ``variants[0]``, then best-of-the-rest (tunnel
-    dispatch latency is noisy).
+    """Compile/warm with ``variants[0]``, then best-of-the-rest.
 
     EVERY ``variants[i]`` must be a DISTINCT argument tuple: the axon device
     runtime result-caches a repeated identical dispatch (measured
     2026-08-19: an exact repeat of the previous call returns in ~0 ms
-    without executing), so timing a repeat of the warm-up call measures
-    nothing. Statistically-identical variants (a different PRNG key, a
-    different init draw) keep the workload honest.
+    without executing). The run is timed by pulling an on-device checksum
+    of every output — ``block_until_ready`` on a raw remote output can
+    return before execution completes, and best-of-N over such timings
+    selects exactly the artifact runs (benchmarks/timing.py).
     """
-    out = fn(*variants[0])
-    jax.block_until_ready(jax.tree.leaves(out)[0])
-    best = float("inf")
-    for args in variants[1:]:
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(jax.tree.leaves(out)[0])
-        best = min(best, time.perf_counter() - t0)
-    return best
+    timed = jax.jit(lambda *args: timing.checksum(fn(*args)))
+    elapsed, _ = timing.timeit_pull(timed, variants)
+    return elapsed
 
 
 def _min_ess_per_sec(positions, elapsed):
@@ -492,7 +487,6 @@ def config_sgld_chains():
     step_keys = jax.vmap(lambda k: jax.random.split(k, num_chains))(
         jax.random.split(jax.random.key(24), num_steps)
     )
-    w0 = 0.1 * jax.random.normal(jax.random.key(25), (num_chains, 54))
 
     def measure(module):
         grad_fn = module.grad_estimator(logprior_fn, loglikelihood_fn, data_size)
@@ -508,7 +502,11 @@ def config_sgld_chains():
 
             return jax.lax.scan(one, w, (step_keys, batch_idx))[0].sum()
 
-        elapsed = _timeit(run, w0)
+        variants = [
+            (0.1 * jax.random.normal(k, (num_chains, 54)),)
+            for k in jax.random.split(jax.random.key(25), 4)
+        ]
+        elapsed = _timeit(run, variants)
         return num_chains * num_steps / elapsed
 
     import blackjax_tpu.sgmcmc.gradients as our_gradients
@@ -641,10 +639,12 @@ def config_horseshoe():
             n_dc = 128  # one full tile
             dc_pos = [
                 0.05 * jax.random.normal(k, (n_dc, d))[:, to_dc]
-                for k in jax.random.split(jax.random.key(33), 2)
+                for k in jax.random.split(jax.random.key(33), 3)
             ]
-            run_dc = jax.jit(
-                lambda x: fused_nuts_run_dc(
+
+            @jax.jit
+            def run_dc(x):
+                fx, h, g, s = fused_nuts_run_dc(
                     x,
                     imm_dc,
                     eps,
@@ -656,13 +656,14 @@ def config_horseshoe():
                     budget=1100 * 64,
                     chunk=256,
                 )
+                return jnp.stack(
+                    [jnp.asarray(g, jnp.float32), timing.checksum((fx, h, s))]
+                )
+
+            dc_elapsed, dc_vals = timing.timeit_pull(
+                run_dc, [(p,) for p in dc_pos]
             )
-            out = run_dc(dc_pos[0])
-            jax.block_until_ready(out[1])
-            t0 = time.perf_counter()
-            _, h2, g2, s2 = run_dc(dc_pos[1])
-            jax.block_until_ready(h2)
-            dc_gps = float(g2) / (time.perf_counter() - t0)
+            dc_gps = float(dc_vals[0]) / dc_elapsed
 
             algo = blackjax_tpu.nuts(target.logdensity_fn, **parameters)
             states = jax.vmap(algo.init)(dc_pos[0][:, np.argsort(to_dc)])
@@ -670,26 +671,30 @@ def config_horseshoe():
                 jax.vmap(lambda kk: jax.random.split(kk, n_dc))(
                     jax.random.split(k, 64)
                 )
-                for k in jax.random.split(jax.random.key(34), 2)
+                for k in jax.random.split(jax.random.key(34), 3)
             ]
-            run_x = jax.jit(
-                build_fused_many_steps(
-                    target.logdensity_fn,
-                    eps,
-                    parameters["inverse_mass_matrix"],
-                    num_steps=64,
-                    max_num_doublings=10,
-                    track_fn=lambda s: s.position[:8],
-                    oversubscription=4,
-                    unroll=4,
-                )
+            run_x_impl = build_fused_many_steps(
+                target.logdensity_fn,
+                eps,
+                parameters["inverse_mass_matrix"],
+                num_steps=64,
+                max_num_doublings=10,
+                track_fn=lambda s: s.position[:8],
+                oversubscription=4,
+                unroll=4,
             )
-            out = run_x(keysets[0], states)
-            jax.block_until_ready(out[1])
-            t0 = time.perf_counter()
-            _, hx, gx = run_x(keysets[1], states)
-            jax.block_until_ready(hx)
-            runner_gps = float(gx) / (time.perf_counter() - t0)
+
+            @jax.jit
+            def run_x(keys, states):
+                final, h, g = run_x_impl(keys, states)
+                return jnp.stack(
+                    [jnp.asarray(g, jnp.float32), timing.checksum((final, h))]
+                )
+
+            x_elapsed, x_vals = timing.timeit_pull(
+                run_x, [(ks, states) for ks in keysets]
+            )
+            runner_gps = float(x_vals[0]) / x_elapsed
             extras = {
                 "pallas_dc_grads_per_sec": round(dc_gps, 1),
                 "runner_grads_per_sec": round(runner_gps, 1),
@@ -758,10 +763,16 @@ def config_e2e_flagship():
 
     res = run_warmup(warm_key)  # compile + the canonical parameters
     jax.block_until_ready(jax.tree.leaves(res.state)[0])
-    t0 = time.perf_counter()
-    res2 = run_warmup(jax.random.fold_in(warm_key, 1))  # distinct dispatch
-    jax.block_until_ready(jax.tree.leaves(res2.state)[0])
-    our_warm_elapsed = time.perf_counter() - t0
+
+    @jax.jit
+    def run_warmup_timed(k):
+        r = run_warmup(k)
+        return timing.checksum((r.state, r.parameters))
+
+    our_warm_elapsed, _ = timing.timeit_pull(
+        run_warmup_timed,
+        [(jax.random.fold_in(warm_key, i),) for i in range(1, 4)],
+    )
     step_size = float(res.parameters["step_size"])
     imm = jnp.asarray(res.parameters["inverse_mass_matrix"])
 
@@ -845,10 +856,15 @@ def config_e2e_flagship():
 
         parameters = ref_warmup(warm_key)  # compile + canonical parameters
         jax.block_until_ready(parameters["step_size"])
-        t0 = time.perf_counter()
-        p2 = ref_warmup(jax.random.fold_in(warm_key, 1))
-        jax.block_until_ready(p2["step_size"])
-        ref_warm_elapsed = time.perf_counter() - t0
+
+        @jax.jit
+        def ref_warmup_timed(k):
+            return timing.checksum(ref_warmup(k))
+
+        ref_warm_elapsed, _ = timing.timeit_pull(
+            ref_warmup_timed,
+            [(jax.random.fold_in(warm_key, i),) for i in range(1, 4)],
+        )
 
         # the reference returns extra_parameters (incl. max_num_doublings)
         # inside `parameters`
