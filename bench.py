@@ -339,7 +339,7 @@ def bench_reference(rng_key, step_size, imm):
 
 def main():
     device = jax.devices()[0]
-    cfg_key = f"{device.device_kind}|c{NUM_CHAINS}|s{NUM_STEPS}|d{DIM}|v3"
+    cfg_key = f"{device.device_kind}|c{NUM_CHAINS}|s{NUM_STEPS}|d{DIM}|v4"
     rng_key = jax.random.key(2026)
     warm_key, run_key = jax.random.split(rng_key)
 

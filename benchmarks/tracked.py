@@ -91,30 +91,33 @@ def config_hmc():
     from blackjax_tpu.models.targets import ill_conditioned_gaussian
 
     target = ill_conditioned_gaussian(100)
-    # 2048 steps: the 512-step run was ~35 ms, inside the tunnel's dispatch
-    # noise band (observed 1.87-2.09M transitions/s across repeats)
-    num_chains, num_steps = 128, 2048 if ON_TPU else 64
+    # 131072 steps: with the overhead-subtracting scalar-pull protocol the
+    # subtraction is only trustworthy when the raw run dwarfs the ~30 ms
+    # fixed pull cost; our side runs ~70M transitions/s, so anything under
+    # ~30k steps is overhead-dominated on this box
+    num_chains, num_steps = 128, 131072 if ON_TPU else 64
     params = dict(step_size=0.08, num_integration_steps=10)
     key = jax.random.key(7)
     positions = 0.5 * jax.random.normal(key, (num_chains, 100))
-    keys = jax.random.split(key, (num_steps, num_chains))
 
     def measure(algo_factory):
         algo = algo_factory()
 
+        # per-step keys are derived INSIDE the program: a closed-over
+        # (131072, 128) key array would be baked into the payload shipped
+        # to the remote compiler (HTTP 413 above ~200 MB)
         @jax.jit
-        def run(states):
-            def one(states, ks):
+        def run(key, states):
+            def one(states, k):
+                ks = jax.random.split(k, num_chains)
                 states, _ = jax.vmap(algo.step)(ks, states)
                 return states, states.position[:, 0]
 
-            return jax.lax.scan(one, states, keys)
+            return jax.lax.scan(one, states, jax.random.split(key, num_steps))
 
+        states0 = jax.vmap(algo.init)(positions)
         variants = [
-            (jax.vmap(algo.init)(
-                0.5 * jax.random.normal(k, (num_chains, 100))
-            ),)
-            for k in jax.random.split(jax.random.key(8), 4)
+            (k, states0) for k in jax.random.split(jax.random.key(8), 4)
         ]
         elapsed = _timeit(run, variants)
         return num_chains * num_steps / elapsed
@@ -421,7 +424,7 @@ def config_cross_chain():
     from blackjax_tpu.models.targets import ill_conditioned_gaussian
 
     target = ill_conditioned_gaussian(100)
-    num_chains, num_steps = (4096, 100) if ON_TPU else (256, 50)
+    num_chains, num_steps = (4096, 1000) if ON_TPU else (256, 50)
     key = jax.random.key(19)
     positions = jax.random.normal(key, (num_chains, 100))
 
@@ -469,7 +472,7 @@ def config_sgld_chains():
 
     target, X, y = logistic_regression(num_points=4096, dim=54)
     num_chains = 4096 if ON_TPU else 64
-    num_steps, batch = (200, 256) if ON_TPU else (50, 64)
+    num_steps, batch = (20000, 256) if ON_TPU else (50, 64)
     key = jax.random.key(23)
     data_size = X.shape[0]
 
@@ -481,30 +484,30 @@ def config_sgld_chains():
         logits = xb @ w
         return jnp.sum(yb * logits - jnp.logaddexp(0.0, logits))
 
-    batch_idx = jax.vmap(
-        lambda k: jax.random.randint(k, (batch,), 0, data_size)
-    )(jax.random.split(key, num_steps))
-    step_keys = jax.vmap(lambda k: jax.random.split(k, num_chains))(
-        jax.random.split(jax.random.key(24), num_steps)
-    )
-
     def measure(module):
         grad_fn = module.grad_estimator(logprior_fn, loglikelihood_fn, data_size)
         step = module.sgld_step(grad_fn)
 
+        # minibatch indices and per-(step, chain) keys are derived INSIDE
+        # the program: closed-over (steps, chains) key arrays get baked
+        # into the remote-compile payload (HTTP 413 at 20k steps)
         @jax.jit
-        def run(w):
-            def one(w, xs):
-                keys, idx = xs
+        def run(key, w):
+            def one(w, k):
+                k_idx, k_step = jax.random.split(k)
+                idx = jax.random.randint(k_idx, (batch,), 0, data_size)
                 mb = (X[idx], y[idx])
-                w = jax.vmap(lambda k, wi: step(k, wi, mb, 1e-5))(keys, w)
+                keys = jax.random.split(k_step, num_chains)
+                w = jax.vmap(lambda kk, wi: step(kk, wi, mb, 1e-5))(keys, w)
                 return w, ()
 
-            return jax.lax.scan(one, w, (step_keys, batch_idx))[0].sum()
+            return jax.lax.scan(one, w, jax.random.split(key, num_steps))[
+                0
+            ].sum()
 
+        w0 = 0.1 * jax.random.normal(jax.random.key(25), (num_chains, 54))
         variants = [
-            (0.1 * jax.random.normal(k, (num_chains, 54)),)
-            for k in jax.random.split(jax.random.key(25), 4)
+            (k, w0) for k in jax.random.split(jax.random.key(26), 4)
         ]
         elapsed = _timeit(run, variants)
         return num_chains * num_steps / elapsed
@@ -537,7 +540,7 @@ def config_meads():
     from blackjax_tpu.models.targets import ill_conditioned_gaussian
 
     target = ill_conditioned_gaussian(100)
-    num_chains, num_steps = (4096, 100) if ON_TPU else (256, 40)
+    num_chains, num_steps = (4096, 1000) if ON_TPU else (256, 40)
     key = jax.random.key(29)
     positions = jax.random.normal(key, (num_chains, 100))
 
@@ -625,6 +628,7 @@ def config_horseshoe():
         # documented-equivalent RNG streams), so this ratio is the
         # throughput story for the matmul class.
         try:
+            import blackjax_tpu
             from blackjax_tpu.mcmc.nuts import build_fused_many_steps
             from blackjax_tpu.ops.fused_nuts_dc import fused_nuts_run_dc
             from blackjax_tpu.ops.targets_dc import (
@@ -750,15 +754,21 @@ def config_e2e_flagship():
     from blackjax_tpu.mcmc import nuts as nuts_mod
     from blackjax_tpu.mcmc.nuts import build_fused_many_steps
 
+    # warm up on a SUBSET of chains and broadcast (ε, M⁻¹) to the full
+    # ensemble: pooled Welford over 256 chains × 400 steps is ~100k draws
+    # for a d=100 diagonal metric — adaptation quality is not the binding
+    # constraint, warmup wall time is (it dominated the 4,096-chain e2e)
+    n_warm_chains = min(256, num_chains)
+    warm_positions = positions[:n_warm_chains]
     warmup = staged_adaptation(
         nuts_mod,
         target.logdensity_fn,
-        n_chains=num_chains,
+        n_chains=n_warm_chains,
         max_num_doublings=max_doublings,
     )
 
     def run_warmup(k):
-        res, _ = warmup.run(k, positions, num_warmup)
+        res, _ = warmup.run(k, warm_positions, num_warmup)
         return res
 
     res = run_warmup(warm_key)  # compile + the canonical parameters
@@ -907,7 +917,20 @@ CONFIGS = {
 
 # bump a config's version when its measurement protocol changes (invalidates
 # the cached reference baseline for just that config)
-CONFIG_VERSIONS = {"sgld": "v4", "hmc": "v4"}
+# bump a config's version whenever its protocol or workload size changes:
+# the reference-side baseline cache key includes it, so stale baselines
+# measured under an older protocol can never pair with a new our-side run
+CONFIG_VERSIONS = {
+    "sgld": "v5",
+    "hmc": "v6",
+    "sgld_chains": "v6",
+    "cross_chain": "v6",
+    "meads": "v6",
+    "e2e_flagship": "v6",
+    "nuts_8schools": "v5",
+    "smc": "v5",
+    "horseshoe": "v5",
+}
 
 
 def run_tracked(cache: dict, cache_write, device_kind: str, names=None):
