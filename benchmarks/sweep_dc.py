@@ -43,10 +43,24 @@ def main():
     positions = 0.5 * jax.vmap(lambda k: jax.random.normal(k, (bench.DIM,)))(init_keys)
     imm = jnp.asarray(imm)
 
+    from benchmarks import timing
+
+    pos_variants = [
+        (
+            0.5
+            * jax.vmap(lambda k: jax.random.normal(k, (bench.DIM,)))(
+                jax.random.split(jax.random.fold_in(run_key, i), bench.NUM_CHAINS)
+            ),
+        )
+        for i in range(1 + repeats)
+    ]
+
     for tile in tiles:
         for chunk in chunks:
-            run = jax.jit(
-                lambda x, t=tile, c=chunk: fused_nuts_run_dc(
+
+            @jax.jit
+            def run(x, t=tile, c=chunk):
+                fx, h, g, s = fused_nuts_run_dc(
                     x,
                     imm,
                     step_size,
@@ -59,20 +73,22 @@ def main():
                     budget=budget_mult * bench.NUM_STEPS,
                     chunk=c,
                 )
-            )
+                return jnp.stack(
+                    [
+                        jnp.asarray(g, jnp.float32),
+                        jnp.min(s).astype(jnp.float32),
+                        timing.checksum((fx, h)),
+                    ]
+                )
+
             try:
-                fx, hist, grads, steps = run(positions)
-                jax.block_until_ready(grads)
+                # distinct inputs per dispatch + on-device checksum pull
+                # (benchmarks/timing.py: result cache + early return)
+                best, vals = timing.timeit_pull(run, pos_variants)
             except Exception as exc:
                 print(json.dumps({"tile": tile, "chunk": chunk, "error": str(exc)[:200]}))
                 continue
-            min_steps = int(jnp.min(steps))
-            best = float("inf")
-            for _ in range(repeats):
-                t0 = time.perf_counter()
-                out = run(positions)
-                jax.block_until_ready(out[2])
-                best = min(best, time.perf_counter() - t0)
+            grads, min_steps = vals[0], int(vals[1])
             print(
                 json.dumps(
                     {

@@ -640,7 +640,7 @@ def config_horseshoe():
             to_dc, _ = horseshoe_dc_perm(200)
             imm_dc = jnp.asarray(parameters["inverse_mass_matrix"])[to_dc]
             eps = float(parameters["step_size"])
-            n_dc = 128  # one full tile
+            n_dc = 512  # one 128-lane tile at pack=4
             dc_pos = [
                 0.05 * jax.random.normal(k, (n_dc, d))[:, to_dc]
                 for k in jax.random.split(jax.random.key(33), 3)
@@ -657,8 +657,9 @@ def config_horseshoe():
                     max_num_doublings=10,
                     seed=7,
                     num_track=8,
-                    budget=1100 * 64,
+                    budget=1100 * 64 * 4,
                     chunk=256,
+                    pack=4,
                 )
                 return jnp.stack(
                     [jnp.asarray(g, jnp.float32), timing.checksum((fx, h, s))]
@@ -834,8 +835,9 @@ def config_e2e_flagship():
                     seed=7,
                     num_track=k_track,
                     tile_chains=128,
-                    budget=64 * num_steps,
+                    budget=64 * num_steps * 16,
                     chunk=256,
+                    pack=16,
                 )
             )
             pos_variants = [

@@ -187,6 +187,7 @@ def _nuts_kernel_dc(
     divergence_threshold,
     metric_kind="diag",
     n_metric=2,
+    pack=1,
     disable=(),
 ):
     scalars = refs[0]  # SMEM (1,) f32: step_size
@@ -200,7 +201,16 @@ def _nuts_kernel_dc(
 
     eps = scalars[0]
     seed = seed_ref[0]
-    D, T = x_ref.shape
+    # slot packing: each LANE owns `pack` logical chains, run sequentially.
+    # The x/out blocks are (rows, pack * T); chain k of lane j sits at
+    # column k * T + j, so the global column numbering — and with it every
+    # per-chain counter-based RNG stream — is identical to the unpacked
+    # kernel's. A lane that finishes its transitions PARKS (done, inactive)
+    # until the chunk boundary, where the switch block flushes its outputs
+    # into chain-block k's columns and loads chain k+1: zero per-leaf cost,
+    # and the lockstep straggler tail is averaged over `pack` chains/lane.
+    D, TT = x_ref.shape
+    T = TT // pack
     S = num_steps
 
     rowid = jax.lax.broadcasted_iota(jnp.int32, (D, T), 0)
@@ -248,13 +258,16 @@ def _nuts_kernel_dc(
         raise ValueError(f"unknown metric_kind {metric_kind!r}")
     carry_w = metric_kind != "diag"
 
-    # lane-replicated global chain ids (pure iota + the grid coordinate)
-    chain_full = (
-        jax.lax.broadcasted_iota(jnp.int32, (D, T), 1) + pl.program_id(0) * T
-    )
-    chain_row = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) + pl.program_id(0) * T
-    )
+    # lane-replicated global chain ids: grid column base + the lane's
+    # CURRENT logical chain block (cur * T) + lane. Recomputed per leaf
+    # from the carried `cur` row (two row ops); for pack == 1 this is the
+    # same constant the unpacked kernel used.
+    col_base = pl.program_id(0) * TT
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+
+    def chain_id_row(cur):
+        return col_base + cur * T + lane_row
+
     srow = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)  # history row ids
 
     def dot_d(a, b):
@@ -284,8 +297,8 @@ def _nuts_kernel_dc(
             return (ld if ld.ndim == 2 else ld[None, :]), g
         return ld_row(x), grad_tile(x, mask, *params)
 
-    # ---- initial chain state -------------------------------------------
-    x0 = x_ref[:]
+    # ---- initial chain state (each lane starts on its chain block 0) ----
+    x0 = x_ref[:, :T]
     ld0, g0 = value_and_grad(x0)
 
     zero_v = jnp.zeros((D, T), jnp.float32)
@@ -297,6 +310,7 @@ def _nuts_kernel_dc(
 
     state0 = dict(
         acc_x=x0, acc_g=g0, acc_ld=ld0,
+        cur=zero_i,  # which of the lane's `pack` logical chains is live
         steps=zero_i,
         done=zero_s + 1.0,  # f32 flag: forces a start on iteration 0
         cur_x=x0, cur_m=zero_v, cur_g=g0, cur_ld=ld0,
@@ -340,11 +354,12 @@ def _nuts_kernel_dc(
 
         # ---- inline restart: chains that closed start the next one ----
         start = s["done"] & live
+        chain_row = chain_id_row(s["cur"])
         base_row = chain_row * S + s["steps"]  # (1, T) per-(chain, step) id
         if "rng" in disable:  # attribution only: NOT a valid sampler
             z = mask * jnp.cos(s["steps"].astype(jnp.float32))
         else:
-            base_full = chain_full * S + s["steps"]  # row broadcast: native
+            base_full = base_row  # row broadcast against rowid: native
             b1, b2 = _threefry2x32(
                 jnp.uint32(seed),
                 jnp.uint32(0x9E3779B9),
@@ -545,32 +560,117 @@ def _nuts_kernel_dc(
         )
         return tuple(s[k] for k in keys)
 
+    i_cur, i_steps = keys.index("cur"), keys.index("steps")
+
+    def flush(k_blk, lane_mask, s):
+        """Write chain block ``k_blk``'s output columns for ``lane_mask``
+        lanes (read-modify-write: other lanes' columns are preserved). At
+        a switch ``steps == S`` so every history row is live; the epilogue
+        handles partial chains separately."""
+        c0, c1 = k_blk * T, (k_blk + 1) * T
+        xacc_ref[:, c0:c1] = jnp.where(
+            lane_mask, s["acc_x"], xacc_ref[:, c0:c1]
+        )
+        steps_ref[:, c0:c1] = jnp.where(
+            lane_mask, s["steps"], steps_ref[:, c0:c1]
+        )
+        grads_ref[:, c0:c1] = jnp.where(
+            lane_mask, s["grads"], grads_ref[:, c0:c1]
+        )
+        for t in range(n_track):
+            hist_refs[t][:, c0:c1] = jnp.where(
+                lane_mask, s["hist"][t], hist_refs[t][:, c0:c1]
+            )
+
+    def switch_block(carry):
+        """Chunk-boundary chain switch: lanes parked on a finished chain
+        flush its outputs and load their next logical chain. Runs once per
+        chunk — the leaf loop itself carries zero packing overhead."""
+        s = dict(zip(keys, carry))
+        switching = (s["steps"] >= S) & (s["cur"] < pack - 1)
+        for kb in range(pack - 1):
+            flush(kb, switching & (s["cur"] == kb), s)
+        nxt = s["acc_x"]
+        for kb in range(1, pack):
+            arriving = switching & (s["cur"] + 1 == kb)
+            nxt = jnp.where(arriving, x_ref[:, kb * T : (kb + 1) * T], nxt)
+        ld_n, g_n = value_and_grad(nxt)
+        s["acc_x"] = nxt
+        s["acc_g"] = jnp.where(switching, g_n, s["acc_g"])
+        s["acc_ld"] = jnp.where(switching, ld_n, s["acc_ld"])
+        s["steps"] = jnp.where(switching, 0, s["steps"])
+        s["grads"] = jnp.where(switching, 0.0, s["grads"])
+        s["cur"] = s["cur"] + switching.astype(jnp.int32)
+        s["done"] = jnp.where(switching, 1.0, s["done"])
+        return tuple(s[k] for k in keys)
+
     if "exit" in disable:
         carry = jax.lax.fori_loop(
             0, budget, leaf_step, tuple(state0[k] for k in keys)
         )
     else:
+        end = pack * S
 
         def chunk_body(c, carry):
-            # skip whole chunks once every chain in the tile is finished
-            steps_now = carry[keys.index("steps")]
-            return jax.lax.cond(
-                jnp.min(steps_now) < S,
+            # skip whole chunks once every lane finished all its chains
+            progress = carry[i_cur] * S + carry[i_steps]
+            carry = jax.lax.cond(
+                jnp.min(progress) < end,
                 lambda cr: jax.lax.fori_loop(0, chunk, leaf_step, cr),
                 lambda cr: cr,
                 carry,
             )
+            if pack > 1:
+                carry = switch_block(carry)
+            return carry
 
         carry = jax.lax.fori_loop(
             0, budget // chunk, chunk_body, tuple(state0[k] for k in keys)
         )
     final = dict(zip(keys, carry))
 
-    xacc_ref[:] = final["acc_x"]
-    steps_ref[:] = final["steps"]
-    grads_ref[:] = final["grads"]
-    for k in range(n_track):
-        hist_refs[k][:] = final["hist"][k]
+    if pack == 1:
+        xacc_ref[:] = final["acc_x"]
+        steps_ref[:] = final["steps"]
+        grads_ref[:] = final["grads"]
+        for k in range(n_track):
+            hist_refs[k][:] = final["hist"][k]
+    else:
+        # epilogue per chain block: cur's partial state is written with
+        # rows >= steps zeroed (the unpacked kernel's zero-init semantics);
+        # never-reached blocks get (x0, 0, 0, zeros); already-flushed
+        # blocks (cur > kb) are preserved (their columns were written at
+        # the switch that left them)
+        zero_row_i = jnp.zeros((1, T), jnp.int32)
+        zero_row_f = jnp.zeros((1, T), jnp.float32)
+        for kb in range(pack):
+            c0, c1 = kb * T, (kb + 1) * T
+            is_cur = final["cur"] == kb
+            unreached = final["cur"] < kb
+            xacc_ref[:, c0:c1] = jnp.where(
+                is_cur,
+                final["acc_x"],
+                jnp.where(unreached, x_ref[:, c0:c1], xacc_ref[:, c0:c1]),
+            )
+            steps_ref[:, c0:c1] = jnp.where(
+                is_cur,
+                final["steps"],
+                jnp.where(unreached, zero_row_i, steps_ref[:, c0:c1]),
+            )
+            grads_ref[:, c0:c1] = jnp.where(
+                is_cur,
+                final["grads"],
+                jnp.where(unreached, zero_row_f, grads_ref[:, c0:c1]),
+            )
+            for t in range(n_track):
+                live_rows = is_cur & (srow < final["steps"])
+                hist_refs[t][:, c0:c1] = jnp.where(
+                    live_rows,
+                    final["hist"][t],
+                    jnp.where(
+                        is_cur | unreached, 0.0, hist_refs[t][:, c0:c1]
+                    ),
+                )
 
 
 def fused_nuts_run_dc(
@@ -586,6 +686,7 @@ def fused_nuts_run_dc(
     tile_chains: int = 128,
     budget: int = None,
     chunk: int = 128,
+    pack: int = 1,
     divergence_threshold: float = 1000.0,
     interpret: bool = False,
     debug: bool = False,
@@ -610,18 +711,29 @@ def fused_nuts_run_dc(
     - :class:`~blackjax_tpu.mcmc.metrics.LowRankInverseMassMatrix` —
       ``M^{-1} = D(I + U(Lam-I)U^T)D`` in O(dk): two skinny ``(d, k)``
       contractions per matvec, same carried-``w`` scheme.
+
+    ``pack`` > 1 runs ``pack`` logical chains per physical lane,
+    sequentially, with chunk-boundary switching: the lockstep straggler
+    tail (a tile only skips a chunk once EVERY lane is finished) is
+    averaged over ``pack`` chains per lane instead of paid per chain.
+    Per-chain RNG streams are keyed on the global chain id, so results
+    are identical to ``pack=1`` for every chain. ``budget`` counts leaf
+    iterations per LANE, covering all its ``pack`` chains.
     """
     C, d = positions.shape
     if d != target.dim:
         raise ValueError(f"positions dim {d} != registered target dim {target.dim}")
     if num_track > d:
         raise ValueError(f"num_track={num_track} > dim {d}")
+    if pack < 1:
+        raise ValueError(f"pack must be >= 1, got {pack}")
     d_pad = _round_up(d, _SUBLANE)
     tile_chains = max(_LANE, _round_up(min(tile_chains, max(C, 1)), _LANE))
-    c_pad = _round_up(C, tile_chains)
-    n_tiles = c_pad // tile_chains
+    block_chains = tile_chains * pack
+    c_pad = _round_up(C, block_chains)
+    n_tiles = c_pad // block_chains
     if budget is None:
-        budget = 32 * num_steps
+        budget = 32 * num_steps * pack
     budget = _round_up(budget, chunk)
 
     x = jnp.pad(
@@ -728,16 +840,19 @@ def fused_nuts_run_dc(
         divergence_threshold=divergence_threshold,
         metric_kind=metric_kind,
         n_metric=len(metric_ops),
+        pack=pack,
         disable=tuple(
             f for f in os.environ.get("FNUTS_DISABLE", "").split(",") if f
         ),
     )
+    if pack > 1 and "exit" in os.environ.get("FNUTS_DISABLE", ""):
+        raise ValueError("pack > 1 requires the chunked loop (exit enabled)")
 
     tile_spec = pl.BlockSpec(
-        (d_pad, tile_chains), lambda i: (0, i), memory_space=pltpu.VMEM
+        (d_pad, block_chains), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     row_spec = pl.BlockSpec(
-        (1, tile_chains), lambda i: (0, i), memory_space=pltpu.VMEM
+        (1, block_chains), lambda i: (0, i), memory_space=pltpu.VMEM
     )
 
     out_shapes = [
@@ -750,7 +865,7 @@ def fused_nuts_run_dc(
     ]
     out_specs = [tile_spec, row_spec, row_spec] + [
         pl.BlockSpec(
-            (num_steps, tile_chains), lambda i: (0, i), memory_space=pltpu.VMEM
+            (num_steps, block_chains), lambda i: (0, i), memory_space=pltpu.VMEM
         )
         for _ in range(num_track)
     ]

@@ -120,3 +120,38 @@ def test_fused_nuts_dc_matches_cd_kernel_statistics(fused_out):
     pooled = np.asarray(hist)[:, S // 4 :, :].reshape(-1, DIM)
     pooled2 = np.asarray(hist2)[:, S // 4 :, :].reshape(-1, DIM)
     np.testing.assert_allclose(pooled.var(0), pooled2.var(0), rtol=0.35)
+
+
+def test_fused_nuts_dc_pack_is_exactly_unpacked(fused_out):
+    """Slot packing (``pack`` logical chains per lane, chunk-boundary
+    switching) must be a pure SCHEDULING change: per-chain RNG streams are
+    keyed on the global chain id, so every output — final positions,
+    history, per-chain grad counts, step counts — is bitwise identical to
+    ``pack=1``. Includes a budget-exhaustion run: unreached chains return
+    their initial position with zeroed history/steps, partial chains zero
+    rows >= steps (the unpacked kernel's zero-init semantics)."""
+    (out1, C, S) = fused_out
+    target = make_gaussian_target_dc(DIM, VAR)
+    x0 = 0.2 * jax.random.normal(jax.random.key(0), (C, DIM))
+    common = dict(
+        target=target, num_steps=S, max_num_doublings=6, seed=3,
+        num_track=DIM, tile_chains=128, chunk=32, interpret=True,
+    )
+    out4 = fused_nuts_run_dc(
+        x0, jnp.ones(DIM), 0.4, budget=4 * S * 64, pack=4, **common
+    )
+    for a, b, name in zip(out1, out4, ["final_x", "hist", "grads", "steps"]):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
+
+    starved = fused_nuts_run_dc(
+        x0, jnp.ones(DIM), 0.4, budget=96, pack=4, **common
+    )
+    fx, hist, _, steps = (np.asarray(o) for o in starved)
+    assert steps.min() >= 0 and steps.max() <= S
+    x0_np = np.asarray(x0)
+    for c in np.nonzero(steps == 0)[0]:
+        np.testing.assert_array_equal(fx[c], x0_np[c])
+    for c in range(C):
+        assert np.all(hist[c, steps[c]:, :] == 0.0), c
