@@ -157,3 +157,33 @@ def test_low_rank_metric_correlated_gaussian(cov):
     assert float(grads) / (C * S) < 16.0
     pooled = h[:, S // 2 :, :].reshape(-1, DIM)
     np.testing.assert_allclose(pooled.var(0), np.diag(cov), rtol=0.6)
+
+
+@pytest.mark.parametrize("imm_builder", ["dense", "low_rank"])
+def test_pack_bitwise_under_rich_metrics(imm_builder):
+    """Slot packing is scheduling-only under dense and low-rank metrics
+    too (the carried-w machinery is orthogonal to the chain switch)."""
+    if imm_builder == "dense":
+        v = jnp.array([1.0, 2.0, 0.5, 1.5])
+        imm = jnp.diag(v) + 0.05 * (jnp.ones((DIM, DIM)) - jnp.eye(DIM))
+    else:
+        imm = LowRankInverseMassMatrix(
+            sigma=jnp.array([1.0, 1.5, 0.7, 1.2]),
+            U=jnp.linalg.qr(
+                jax.random.normal(jax.random.key(5), (DIM, 2))
+            )[0],
+            lam=jnp.array([3.0, 0.5]),
+        )
+    target = make_gaussian_target_dc(DIM, VAR)
+    x0 = 0.2 * jax.random.normal(jax.random.key(0), (C, target.dim))
+
+    def run(pack):
+        return fused_nuts_run_dc(
+            x0, imm, 0.3,
+            target=target, num_steps=S, max_num_doublings=5, seed=3,
+            num_track=target.dim, budget=S * 40 * pack, chunk=16,
+            pack=pack, interpret=True,
+        )
+
+    for a, b, name in zip(run(1), run(4), ["final_x", "hist", "grads", "steps"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
