@@ -657,9 +657,10 @@ def config_horseshoe():
                     max_num_doublings=10,
                     seed=7,
                     num_track=8,
-                    budget=1100 * 64 * 4,
+                    budget=1400 * 64 * 4,
                     chunk=256,
                     pack=4,
+                    restart_every=8,
                 )
                 return jnp.stack(
                     [jnp.asarray(g, jnp.float32), timing.checksum((fx, h, s))]
@@ -835,9 +836,10 @@ def config_e2e_flagship():
                     seed=7,
                     num_track=k_track,
                     tile_chains=128,
-                    budget=64 * num_steps * 16,
+                    budget=96 * num_steps * 16,
                     chunk=256,
                     pack=16,
+                    restart_every=8,
                 )
             )
             pos_variants = [

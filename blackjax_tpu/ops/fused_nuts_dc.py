@@ -188,6 +188,7 @@ def _nuts_kernel_dc(
     metric_kind="diag",
     n_metric=2,
     pack=1,
+    restart_every=1,
     disable=(),
 ):
     scalars = refs[0]  # SMEM (1,) f32: step_size
@@ -343,7 +344,7 @@ def _nuts_kernel_dc(
         state0["right_w"] = zero_v
     keys = list(state0.keys())
 
-    def leaf_step(_, carry):
+    def leaf_step(_, carry, with_restart=True):
         s = dict(zip(keys, carry))
         # boolean flags ride the carry as f32 0/1 (i1 vector loop carries
         # fail scf.for legalization); local views are bool
@@ -352,57 +353,65 @@ def _nuts_kernel_dc(
         s["turn"] = s["turn"] > 0.5
         live = s["steps"] < S
 
-        # ---- inline restart: chains that closed start the next one ----
-        start = s["done"] & live
         chain_row = chain_id_row(s["cur"])
         base_row = chain_row * S + s["steps"]  # (1, T) per-(chain, step) id
-        if "rng" in disable:  # attribution only: NOT a valid sampler
-            z = mask * jnp.cos(s["steps"].astype(jnp.float32))
-        else:
-            base_full = base_row  # row broadcast against rowid: native
-            b1, b2 = _threefry2x32(
-                jnp.uint32(seed),
-                jnp.uint32(0x9E3779B9),
-                rowid.astype(jnp.uint32),
-                (jnp.uint32(1) << jnp.uint32(24)) | base_full.astype(jnp.uint32),
-            )
-            u1 = (
-                (b1 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) + 1.0
-            ) * (2.0**-24)
-            u2 = (b2 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (
-                2.0**-24
-            )
-            z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(6.283185307179586 * u2)
-        fresh_m = sample_m(z)
 
-        w_fresh = imm_mv(fresh_m)
-        h0_new = -s["acc_ld"] + 0.5 * dot_d(w_fresh, fresh_m)
-        refresh = [
-            ("cur_x", s["acc_x"]), ("cur_m", fresh_m), ("cur_g", s["acc_g"]),
-            ("cur_ld", s["acc_ld"]),
-            ("left_x", s["acc_x"]), ("left_m", fresh_m), ("left_g", s["acc_g"]),
-            ("left_ld", s["acc_ld"]),
-            ("right_x", s["acc_x"]), ("right_m", fresh_m), ("right_g", s["acc_g"]),
-            ("right_ld", s["acc_ld"]),
-            ("msum", fresh_m), ("sub_msum", zero_v),
-            ("prop_x", s["acc_x"]), ("prop_g", s["acc_g"]), ("prop_ld", s["acc_ld"]),
-            ("sub_x", s["acc_x"]), ("sub_g", s["acc_g"]), ("sub_ld", s["acc_ld"]),
-        ]
-        if carry_w:
-            refresh += [("left_w", w_fresh), ("right_w", w_fresh)]
-        for name, fresh in refresh:
-            s[name] = sel(start, fresh, s[name])
-        for name, fresh in [
-            ("prop_w", zero_s), ("prop_slpa", neg_inf_row),
-            ("sub_w", zero_s), ("sub_slpa", neg_inf_row),
-            ("h0", h0_new),
-        ]:
-            s[name] = sel(start, fresh, s[name])
-        for name in ["depth", "leaf", "nstates"]:
-            s[name] = sel(start, zero_i, s[name])
-        s["div"] = s["div"] & ~start
-        s["turn"] = s["turn"] & ~start
-        s["done"] = s["done"] & ~start
+        # ---- inline restart: chains that closed start the next one ----
+        # Gated statically to every `restart_every`-th leaf: the momentum
+        # draw is keyed on (chain, step) — independent of WHICH leaf
+        # computes it — so delaying a restart changes scheduling only
+        # (chains park <= restart_every - 1 leaves); outputs are bitwise
+        # identical, and the gated leaves drop the entire threefry +
+        # Box-Muller + refresh block (~half the per-leaf vector ops).
+        if with_restart:
+            start = s["done"] & live
+            if "rng" in disable:  # attribution only: NOT a valid sampler
+                z = mask * jnp.cos(s["steps"].astype(jnp.float32))
+            else:
+                base_full = base_row  # row broadcast against rowid: native
+                b1, b2 = _threefry2x32(
+                    jnp.uint32(seed),
+                    jnp.uint32(0x9E3779B9),
+                    rowid.astype(jnp.uint32),
+                    (jnp.uint32(1) << jnp.uint32(24)) | base_full.astype(jnp.uint32),
+                )
+                u1 = (
+                    (b1 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) + 1.0
+                ) * (2.0**-24)
+                u2 = (b2 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (
+                    2.0**-24
+                )
+                z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(6.283185307179586 * u2)
+            fresh_m = sample_m(z)
+
+            w_fresh = imm_mv(fresh_m)
+            h0_new = -s["acc_ld"] + 0.5 * dot_d(w_fresh, fresh_m)
+            refresh = [
+                ("cur_x", s["acc_x"]), ("cur_m", fresh_m), ("cur_g", s["acc_g"]),
+                ("cur_ld", s["acc_ld"]),
+                ("left_x", s["acc_x"]), ("left_m", fresh_m), ("left_g", s["acc_g"]),
+                ("left_ld", s["acc_ld"]),
+                ("right_x", s["acc_x"]), ("right_m", fresh_m), ("right_g", s["acc_g"]),
+                ("right_ld", s["acc_ld"]),
+                ("msum", fresh_m), ("sub_msum", zero_v),
+                ("prop_x", s["acc_x"]), ("prop_g", s["acc_g"]), ("prop_ld", s["acc_ld"]),
+                ("sub_x", s["acc_x"]), ("sub_g", s["acc_g"]), ("sub_ld", s["acc_ld"]),
+            ]
+            if carry_w:
+                refresh += [("left_w", w_fresh), ("right_w", w_fresh)]
+            for name, fresh in refresh:
+                s[name] = sel(start, fresh, s[name])
+            for name, fresh in [
+                ("prop_w", zero_s), ("prop_slpa", neg_inf_row),
+                ("sub_w", zero_s), ("sub_slpa", neg_inf_row),
+                ("h0", h0_new),
+            ]:
+                s[name] = sel(start, fresh, s[name])
+            for name in ["depth", "leaf", "nstates"]:
+                s[name] = sel(start, zero_i, s[name])
+            s["div"] = s["div"] & ~start
+            s["turn"] = s["turn"] & ~start
+            s["done"] = s["done"] & ~start
 
         active = ~s["done"] & live
 
@@ -611,12 +620,25 @@ def _nuts_kernel_dc(
     else:
         end = pack * S
 
+        if restart_every == 1:
+            inner_body = leaf_step
+            n_inner = chunk
+        else:
+
+            def inner_body(j, carry):
+                carry = leaf_step(j, carry, with_restart=True)
+                for _ in range(restart_every - 1):
+                    carry = leaf_step(j, carry, with_restart=False)
+                return carry
+
+            n_inner = chunk // restart_every
+
         def chunk_body(c, carry):
             # skip whole chunks once every lane finished all its chains
             progress = carry[i_cur] * S + carry[i_steps]
             carry = jax.lax.cond(
                 jnp.min(progress) < end,
-                lambda cr: jax.lax.fori_loop(0, chunk, leaf_step, cr),
+                lambda cr: jax.lax.fori_loop(0, n_inner, inner_body, cr),
                 lambda cr: cr,
                 carry,
             )
@@ -687,6 +709,7 @@ def fused_nuts_run_dc(
     budget: int = None,
     chunk: int = 128,
     pack: int = 1,
+    restart_every: int = 1,
     divergence_threshold: float = 1000.0,
     interpret: bool = False,
     debug: bool = False,
@@ -727,6 +750,11 @@ def fused_nuts_run_dc(
         raise ValueError(f"num_track={num_track} > dim {d}")
     if pack < 1:
         raise ValueError(f"pack must be >= 1, got {pack}")
+    if restart_every < 1 or chunk % restart_every != 0:
+        raise ValueError(
+            f"restart_every must be >= 1 and divide chunk, got "
+            f"{restart_every} (chunk={chunk})"
+        )
     d_pad = _round_up(d, _SUBLANE)
     tile_chains = max(_LANE, _round_up(min(tile_chains, max(C, 1)), _LANE))
     block_chains = tile_chains * pack
@@ -841,6 +869,7 @@ def fused_nuts_run_dc(
         metric_kind=metric_kind,
         n_metric=len(metric_ops),
         pack=pack,
+        restart_every=restart_every,
         disable=tuple(
             f for f in os.environ.get("FNUTS_DISABLE", "").split(",") if f
         ),

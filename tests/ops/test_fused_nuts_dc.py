@@ -155,3 +155,34 @@ def test_fused_nuts_dc_pack_is_exactly_unpacked(fused_out):
         np.testing.assert_array_equal(fx[c], x0_np[c])
     for c in range(C):
         assert np.all(hist[c, steps[c]:, :] == 0.0), c
+
+
+def test_fused_nuts_dc_restart_gating_is_exactly_ungated(fused_out):
+    """Restart gating (the threefry + refresh block runs only every
+    ``restart_every``-th leaf) is pure scheduling: the momentum draw is
+    keyed on (chain, step), so a delayed restart makes the SAME draw.
+    Outputs must be bitwise identical, alone and combined with packing."""
+    (out1, C, S) = fused_out
+    target = make_gaussian_target_dc(DIM, VAR)
+    x0 = 0.2 * jax.random.normal(jax.random.key(0), (C, DIM))
+    common = dict(
+        target=target, num_steps=S, max_num_doublings=6, seed=3,
+        num_track=DIM, tile_chains=128, chunk=32, interpret=True,
+    )
+    gated = fused_nuts_run_dc(
+        x0, jnp.ones(DIM), 0.4, budget=2 * S * 64, restart_every=4, **common
+    )
+    for a, b, name in zip(out1, gated, ["final_x", "hist", "grads", "steps"]):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
+    packed_gated = fused_nuts_run_dc(
+        x0, jnp.ones(DIM), 0.4, budget=4 * S * 64, pack=4, restart_every=8,
+        **common,
+    )
+    for a, b, name in zip(
+        out1, packed_gated, ["final_x", "hist", "grads", "steps"]
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
