@@ -109,11 +109,11 @@ RESTART_EVERY = int(os.environ.get("BENCH_RESTART_EVERY", "1"))
 # dc-kernel slot packing: logical chains per physical lane (per-chain
 # outputs identical to pack=1; measured 28.2 -> 43.2M grads/s at 16 on v5e)
 PACK = int(os.environ.get("BENCH_PACK", "16" if ON_TPU else "2"))
-# dc-kernel restart gating: run the threefry+refresh block every r-th leaf
-# only (draws are keyed on (chain, step) so outputs are bitwise identical;
-# chains park <= r-1 leaves). pack absorbs the parking: 43 -> 105M grads/s
-# at pack=16, r in {8, 16} on v5e
-DC_RESTART_EVERY = int(os.environ.get("BENCH_DC_RESTART", "8" if ON_TPU else "2"))
+# dc-kernel restart gating: run the threefry+refresh+history block every
+# r-th leaf only (draws are keyed on (chain, step) so outputs are bitwise
+# identical; chains park <= r-1 leaves). pack absorbs the parking:
+# 43 -> 126M grads/s at pack=16, r=16 on v5e
+DC_RESTART_EVERY = int(os.environ.get("BENCH_DC_RESTART", "16" if ON_TPU else "2"))
 
 
 def hierarchical_logdensity(x):
@@ -292,7 +292,7 @@ def bench_ours_pallas(rng_key, step_size, imm):
             seed=7,
             num_track=TRACKED_DIMS,
             tile_chains=128,
-            budget=96 * NUM_STEPS * PACK,
+            budget=112 * NUM_STEPS * PACK,
             chunk=256,
             pack=PACK,
             restart_every=DC_RESTART_EVERY,

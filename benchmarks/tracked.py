@@ -660,7 +660,7 @@ def config_horseshoe():
                     budget=1400 * 64 * 4,
                     chunk=256,
                     pack=4,
-                    restart_every=8,
+                    restart_every=16,
                 )
                 return jnp.stack(
                     [jnp.asarray(g, jnp.float32), timing.checksum((fx, h, s))]
@@ -839,7 +839,7 @@ def config_e2e_flagship():
                     budget=96 * num_steps * 16,
                     chunk=256,
                     pack=16,
-                    restart_every=8,
+                    restart_every=16,
                 )
             )
             pos_variants = [

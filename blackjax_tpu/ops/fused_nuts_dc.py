@@ -44,6 +44,22 @@ from blackjax_tpu.ops.fused_leapfrog import _round_up
 from blackjax_tpu.ops.fused_mclmc import _threefry2x32
 from blackjax_tpu.ops.fused_nuts import _counter_uniforms, _popcount8
 
+
+def _counter_uniforms2(seed, c0, tag, sub):
+    """TWO independent U[0,1) per element from ONE threefry block —
+    ``_counter_uniforms`` discards the second 32-bit stream; at ~110
+    vector ops per threefry the pairing halves the per-leaf row-RNG cost
+    for draws that share a (counter, sub) key."""
+    b1, b2 = _threefry2x32(
+        seed.astype(jnp.uint32),
+        jnp.uint32(0x9E3779B9),
+        c0.astype(jnp.uint32),
+        (jnp.uint32(tag) << jnp.uint32(24)) | sub.astype(jnp.uint32),
+    )
+    u1 = (b1 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (2.0**-24)
+    u2 = (b2 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (2.0**-24)
+    return u1, u2
+
 __all__ = [
     "TargetKernelDC",
     "fused_nuts_run_dc",
@@ -344,6 +360,20 @@ def _nuts_kernel_dc(
         state0["right_w"] = zero_v
     keys = list(state0.keys())
 
+    def pending_hist_write(hist_tuple, done_bool, steps, acc_x):
+        """Deferred history write: a closed transition's accepted sample
+        persists in ``acc_x`` (the lane PARKS until the next gated leaf),
+        so the (S, T)-masked history write runs only on gated leaves, at
+        chain switches and at the epilogue — 1/restart_every of the old
+        per-leaf cost. Idempotent for lanes that stay parked."""
+        if "hist" in disable:
+            return hist_tuple
+        write_row = (srow == steps - 1) & done_bool & (steps >= 1)
+        return tuple(
+            jnp.where(write_row, acc_x[k : k + 1, :], hist_tuple[k])
+            for k in range(n_track)
+        )
+
     def leaf_step(_, carry, with_restart=True):
         s = dict(zip(keys, carry))
         # boolean flags ride the carry as f32 0/1 (i1 vector loop carries
@@ -364,6 +394,9 @@ def _nuts_kernel_dc(
         # identical, and the gated leaves drop the entire threefry +
         # Box-Muller + refresh block (~half the per-leaf vector ops).
         if with_restart:
+            s["hist"] = pending_hist_write(
+                s["hist"], s["done"], s["steps"], s["acc_x"]
+            )
             start = s["done"] & live
             if "rng" in disable:  # attribution only: NOT a valid sampler
                 z = mask * jnp.cos(s["steps"].astype(jnp.float32))
@@ -416,8 +449,10 @@ def _nuts_kernel_dc(
         active = ~s["done"] & live
 
         # ---- subtree start: direction draw, register reset -------------
+        # u_dir and the trajectory-merge u_prop share one threefry block
+        # (both keyed on (chain, step, depth)): halves the row-RNG cost
         at_start = (s["leaf"] == 0) & active
-        u_dir = _counter_uniforms(seed, base_row, 2, s["depth"])
+        u_dir, u_prop = _counter_uniforms2(seed, base_row, 2, s["depth"])
         new_dir = jnp.where(u_dir < 0.5, -1.0, 1.0)
         direction = sel(at_start, new_dir, s["direction"])
         fwd = direction > 0.0
@@ -514,7 +549,6 @@ def _nuts_kernel_dc(
 
         # trajectory-level proposal merge (biased toward the new subtree);
         # an aborted subtree contributes acceptance statistics only
-        u_prop = _counter_uniforms(seed, base_row, 4, s["depth"])
         p_biased = jnp.minimum(jnp.exp(sub_w - s["prop_w"]), 1.0)
         take_traj = (u_prop < p_biased) & closing & ~aborted
         merged_pw = jnp.logaddexp(s["prop_w"], sub_w)
@@ -544,14 +578,6 @@ def _nuts_kernel_dc(
         acc_g = sel(just_closed, prop_g, s["acc_g"])
         acc_ld = sel(just_closed, prop_ld, s["acc_ld"])
 
-        # history write: tracked coordinates are sublane slices — already
-        # rows; the row match is a plain (S, T) compare, no MXU anywhere
-        hist = list(s["hist"])
-        if "hist" not in disable:
-            write_row = (srow == s["steps"]) & (just_closed)  # (S, T)
-            for k in range(n_track):
-                hist[k] = jnp.where(write_row, prop_x[k : k + 1, :], hist[k])
-
         s.update(
             cur_x=new_x, cur_m=new_m, cur_g=new_g, cur_ld=new_ld,
             left_x=left_x, left_m=left_m, left_g=left_g, left_ld=left_ld,
@@ -565,7 +591,6 @@ def _nuts_kernel_dc(
             div=f01(div), turn=f01(turn),
             done=f01(done_new | s["done"]),
             steps=steps, acc_x=acc_x, acc_g=acc_g, acc_ld=acc_ld,
-            hist=tuple(hist),
         )
         return tuple(s[k] for k in keys)
 
@@ -596,6 +621,9 @@ def _nuts_kernel_dc(
         flush its outputs and load their next logical chain. Runs once per
         chunk — the leaf loop itself carries zero packing overhead."""
         s = dict(zip(keys, carry))
+        s["hist"] = pending_hist_write(
+            s["hist"], s["done"] > 0.5, s["steps"], s["acc_x"]
+        )
         switching = (s["steps"] >= S) & (s["cur"] < pack - 1)
         for kb in range(pack - 1):
             flush(kb, switching & (s["cur"] == kb), s)
@@ -650,6 +678,9 @@ def _nuts_kernel_dc(
             0, budget // chunk, chunk_body, tuple(state0[k] for k in keys)
         )
     final = dict(zip(keys, carry))
+    final["hist"] = pending_hist_write(
+        final["hist"], final["done"] > 0.5, final["steps"], final["acc_x"]
+    )
 
     if pack == 1:
         xacc_ref[:] = final["acc_x"]
