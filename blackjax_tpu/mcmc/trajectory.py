@@ -160,7 +160,14 @@ def static_integration(integrator: Callable, direction: int = 1) -> Callable:
     pipeline the fixed-trip loop — measured 15x faster under vmap with
     per-chain drawn step counts on v5e (a vmapped traced-bound fori lowers
     to an unpipelined while loop at ~8x per-iteration overhead, on top of
-    the max-over-batch trip count every chain already pays)."""
+    the max-over-batch trip count every chain already pays).
+
+    A *Python-int* ``num_integration_steps`` <= 64 (and no ``max``) is
+    emitted as straight-line code, overriding ``unroll`` — XLA then fuses
+    and fma-contracts across step boundaries, so results agree with the
+    ``fori_loop`` spelling to <=1 ULP per step rather than bitwise (pinned
+    by ``tests/mcmc/test_trajectory.py::test_straight_line_matches_loop``).
+    Pass a traced/array step count to force the loop spelling."""
 
     def integrate(
         initial_state,

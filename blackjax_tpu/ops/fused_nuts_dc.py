@@ -104,7 +104,12 @@ class TargetKernelDC:
 
     def __hash__(self):  # ride through jit as a static argument
         # params may hold ndarrays; name+dim is enough (distinct instances
-        # that collide merely re-specialize, they never alias)
+        # that collide merely re-specialize, they never alias). Equality
+        # stays IDENTITY (eq=False): rebuilding a semantically identical
+        # target per call (same data, fresh instance) retraces under jit
+        # every time and grows the trace cache unboundedly — build the
+        # target ONCE and reuse it across calls (as the registry factories
+        # below and benchmarks/tracked.py do).
         return hash((self.name, self.dim))
 
 
@@ -773,6 +778,13 @@ def fused_nuts_run_dc(
     Per-chain RNG streams are keyed on the global chain id, so results
     are identical to ``pack=1`` for every chain. ``budget`` counts leaf
     iterations per LANE, covering all its ``pack`` chains.
+
+    .. warning:: chain ids are KERNEL-LOCAL (derived from ``program_id``),
+       so under ``shard_map`` every shard sees ids ``0..C_shard-1``: calling
+       with the same ``seed`` on every shard silently duplicates chains
+       across devices. Offset the seed per shard, e.g. ``seed + C_shard *
+       jax.lax.axis_index('chains')`` — as ``tests/multidevice/
+       test_pallas_shardmap.py`` and ``__graft_entry__.py`` do.
     """
     C, d = positions.shape
     if d != target.dim:
