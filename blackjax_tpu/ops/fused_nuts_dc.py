@@ -210,8 +210,11 @@ def _nuts_kernel_dc(
     n_metric=2,
     pack=1,
     restart_every=1,
+    track_rows=None,
     disable=(),
 ):
+    if track_rows is None:
+        track_rows = tuple(range(n_track))
     scalars = refs[0]  # SMEM (1,) f32: step_size
     seed_ref = refs[1]  # SMEM (1,) int32
     x_ref = refs[2]
@@ -375,8 +378,8 @@ def _nuts_kernel_dc(
             return hist_tuple
         write_row = (srow == steps - 1) & done_bool & (steps >= 1)
         return tuple(
-            jnp.where(write_row, acc_x[k : k + 1, :], hist_tuple[k])
-            for k in range(n_track)
+            jnp.where(write_row, acc_x[r : r + 1, :], hist_tuple[k])
+            for k, r in enumerate(track_rows)
         )
 
     def leaf_step(_, carry, with_restart=True):
@@ -741,6 +744,7 @@ def fused_nuts_run_dc(
     max_num_doublings: int = 8,
     seed: int = 0,
     num_track: int = 8,
+    track_rows: tuple = None,
     tile_chains: int = 128,
     budget: int = None,
     chunk: int = 128,
@@ -757,7 +761,12 @@ def fused_nuts_run_dc(
     ``(C, d)`` f32; returns ``(final_positions (C, d), history
     (C, num_steps, num_track), total_grads, steps (C,))``.
     ``steps[c] < num_steps`` means the iteration ``budget`` ran out before
-    chain ``c`` finished.
+    chain ``c`` finished. History records coordinates ``0..num_track-1``
+    by default; pass ``track_rows`` (a tuple of ``num_track`` static
+    coordinate indices) to record an arbitrary subset — e.g. the
+    slowest-mixing coordinates identified by a pilot run, so
+    min-over-tracked ESS measures min-over-all (``benchmarks/tracked.py``
+    horseshoe protocol).
 
     ``inverse_mass_matrix`` accepts the full adapted-metric family
     (reference ``blackjax/mcmc/metrics.py:180`` dispatch):
@@ -791,6 +800,15 @@ def fused_nuts_run_dc(
         raise ValueError(f"positions dim {d} != registered target dim {target.dim}")
     if num_track > d:
         raise ValueError(f"num_track={num_track} > dim {d}")
+    if track_rows is not None:
+        track_rows = tuple(int(r) for r in track_rows)
+        if len(track_rows) != num_track:
+            raise ValueError(
+                f"track_rows has {len(track_rows)} entries, expected "
+                f"num_track={num_track}"
+            )
+        if any(r < 0 or r >= d for r in track_rows):
+            raise ValueError(f"track_rows out of range [0, {d}): {track_rows}")
     if pack < 1:
         raise ValueError(f"pack must be >= 1, got {pack}")
     if restart_every < 1 or chunk % restart_every != 0:
@@ -913,6 +931,7 @@ def fused_nuts_run_dc(
         n_metric=len(metric_ops),
         pack=pack,
         restart_every=restart_every,
+        track_rows=track_rows,
         disable=tuple(
             f for f in os.environ.get("FNUTS_DISABLE", "").split(",") if f
         ),

@@ -186,3 +186,46 @@ def test_fused_nuts_dc_restart_gating_is_exactly_ungated(fused_out):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=name
         )
+
+
+def test_fused_nuts_dc_track_rows_selects_columns(fused_out):
+    # tracking an arbitrary static coordinate subset must reproduce exactly
+    # the corresponding columns of the full-tracking run (same seed =>
+    # identical counter streams => identical samples)
+    (_, hist_full, _, _), C, S = fused_out
+    rows = (2, 0, 3)
+    target = make_gaussian_target_dc(DIM, VAR)
+    x0 = 0.2 * jax.random.normal(jax.random.key(0), (C, DIM))
+    _, hist_sub, _, _ = fused_nuts_run_dc(
+        x0,
+        jnp.ones(DIM),
+        0.4,
+        target=target,
+        num_steps=S,
+        max_num_doublings=6,
+        seed=3,
+        num_track=len(rows),
+        track_rows=rows,
+        tile_chains=128,
+        budget=S * 64,
+        chunk=32,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hist_sub), np.asarray(hist_full)[:, :, list(rows)]
+    )
+
+
+def test_fused_nuts_dc_track_rows_validation():
+    target = make_gaussian_target_dc(DIM, VAR)
+    x0 = jnp.zeros((8, DIM))
+    with pytest.raises(ValueError, match="track_rows"):
+        fused_nuts_run_dc(
+            x0, jnp.ones(DIM), 0.4, target=target, num_steps=4,
+            num_track=2, track_rows=(0, 1, 2), interpret=True,
+        )
+    with pytest.raises(ValueError, match="track_rows"):
+        fused_nuts_run_dc(
+            x0, jnp.ones(DIM), 0.4, target=target, num_steps=4,
+            num_track=1, track_rows=(DIM,), interpret=True,
+        )
