@@ -41,7 +41,9 @@ from blackjax_tpu.ops.fused_nuts_dc import TargetKernelDC
 __all__ = [
     "make_logreg_target_dc",
     "make_finnish_horseshoe_target_dc",
+    "make_eight_schools_target_dc",
     "horseshoe_dc_perm",
+    "eight_schools_dc_perm",
 ]
 
 _SUBLANE = 8
@@ -344,5 +346,112 @@ def make_finnish_horseshoe_target_dc(
         grad_tile=grad_tile,
         logdensity_fn=logdensity_fn,
         params=(u, s, X_pad),
+        vg_tile=vg_tile,
+    )
+
+
+def eight_schools_dc_perm():
+    """Index permutations between the model layout of
+    :func:`blackjax_tpu.models.targets.eight_schools_noncentered`
+    (``[mu, log_tau, z(8)]``) and the dc-kernel layout (``[z(8), mu,
+    log_tau]`` — the 8-block first so it sits on a sublane-aligned
+    offset). Returns ``(to_dc, from_dc)``: ``x_dc = x_model[to_dc]``,
+    ``x_model = x_dc[from_dc]``.
+    """
+    to_dc = np.concatenate([np.arange(2, 10), np.arange(2)])
+    return to_dc, np.argsort(to_dc)
+
+
+def make_eight_schools_target_dc() -> TargetKernelDC:
+    """Non-centered eight schools in the dc-kernel layout (d=10).
+
+    Identical posterior to :func:`blackjax_tpu.models.targets
+    .eight_schools_noncentered` up to the coordinate permutation of
+    :func:`eight_schools_dc_perm`. Not matmul-class — the whole gradient
+    is row-broadcast elementwise algebra on one (8, T) block — but at 64
+    chains the scan-of-vmap engine is latency-bound per step, which is
+    exactly the regime the in-kernel machine removes.
+    """
+    y = np.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0], np.float32)
+    sigma = np.array(
+        [15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0], np.float32
+    )
+    inv_s2 = (1.0 / sigma**2).astype(np.float32)
+    dim = 10
+
+    def _unpack(x):
+        z = x[0:8, :]
+        tail = x[8:16, :]  # rows 0/1 = mu/log_tau, rows 2..7 padding = 0
+        rid = jax.lax.broadcasted_iota(jnp.int32, tail.shape, 0)
+
+        def row(k):
+            return jnp.sum(
+                jnp.where(rid == k, tail, 0.0), axis=0, keepdims=True
+            )
+
+        return z, row(0), row(1)
+
+    def _core(x, y_col, is2_col):
+        z, mu, log_tau = _unpack(x)
+        tau = jnp.exp(log_tau)  # (1, T), broadcasts natively onto rows
+        r = (y_col - mu - tau * z) * is2_col  # (8, T) weighted residual
+        return z, mu, log_tau, tau, r
+
+    def _value(z, mu, log_tau, tau, r, y_col, is2_col):
+        resid = y_col - mu - tau * z
+        lp = -0.02 * mu**2 - 0.02 * log_tau**2
+        lp += -0.5 * jnp.sum(z * z, axis=0, keepdims=True)
+        lp += -0.5 * jnp.sum(resid * r, axis=0, keepdims=True)
+        return lp
+
+    def _grad(z, mu, log_tau, tau, r, mask):
+        g_z = -z + r * tau
+        g_mu = -0.04 * mu + jnp.sum(r, axis=0, keepdims=True)
+        g_lt = -0.04 * log_tau + tau * jnp.sum(
+            r * z, axis=0, keepdims=True
+        )
+        rid8 = jax.lax.broadcasted_iota(jnp.int32, (8, g_mu.shape[1]), 0)
+        tail_g = jnp.where(rid8 == 0, g_mu, 0.0) + jnp.where(
+            rid8 == 1, g_lt, 0.0
+        )
+        return jnp.concatenate([g_z, tail_g], axis=0) * mask
+
+    def logdensity_tile(x, mask, y_col, is2_col):
+        z, mu, log_tau, tau, r = _core(x, y_col, is2_col)
+        return _value(z, mu, log_tau, tau, r, y_col, is2_col)
+
+    def grad_tile(x, mask, y_col, is2_col):
+        z, mu, log_tau, tau, r = _core(x, y_col, is2_col)
+        return _grad(z, mu, log_tau, tau, r, mask)
+
+    def vg_tile(x, mask, y_col, is2_col):
+        z, mu, log_tau, tau, r = _core(x, y_col, is2_col)
+        return (
+            _value(z, mu, log_tau, tau, r, y_col, is2_col),
+            _grad(z, mu, log_tau, tau, r, mask),
+        )
+
+    def logdensity_fn(x):
+        """dc-layout log-density (XLA-side parity twin of the tiles)."""
+        z = x[..., 0:8]
+        mu = x[..., 8]
+        log_tau = x[..., 9]
+        tau = jnp.exp(log_tau)
+        theta = mu[..., None] + tau[..., None] * z
+        lp = -0.02 * mu**2 - 0.02 * log_tau**2
+        lp += -0.5 * jnp.sum(z**2, axis=-1)
+        lp += jnp.sum(
+            -0.5 * (jnp.asarray(y) - theta) ** 2 * jnp.asarray(inv_s2),
+            axis=-1,
+        )
+        return lp
+
+    return TargetKernelDC(
+        name="eight_schools_dc",
+        dim=dim,
+        logdensity_tile=logdensity_tile,
+        grad_tile=grad_tile,
+        logdensity_fn=logdensity_fn,
+        params=(y, inv_s2),
         vg_tile=vg_tile,
     )

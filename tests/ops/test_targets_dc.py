@@ -16,7 +16,9 @@ import pytest
 from blackjax_tpu.ops.fused_leapfrog import _round_up
 from blackjax_tpu.ops.fused_nuts_dc import fused_nuts_run_dc
 from blackjax_tpu.ops.targets_dc import (
+    eight_schools_dc_perm,
     horseshoe_dc_perm,
+    make_eight_schools_target_dc,
     make_finnish_horseshoe_target_dc,
     make_logreg_target_dc,
 )
@@ -86,6 +88,29 @@ def test_horseshoe_dc_tiles_match_autodiff(rng_key):
     _check_tiles_match_autodiff(target, positions, ld_atol=5e-2, grad_rtol=5e-3)
 
 
+def test_eight_schools_dc_tiles_match_autodiff(rng_key):
+    target = make_eight_schools_target_dc()
+    positions = 0.5 * jax.random.normal(rng_key, (T, target.dim))
+    _check_tiles_match_autodiff(target, positions, ld_atol=1e-3, grad_rtol=2e-3)
+
+
+def test_eight_schools_dc_permutation_matches_model_target(rng_key):
+    from blackjax_tpu.models.targets import eight_schools_noncentered
+
+    dc = make_eight_schools_target_dc()
+    model = eight_schools_noncentered()
+    to_dc, from_dc = eight_schools_dc_perm()
+    x_model = 0.5 * jax.random.normal(rng_key, (5, 10)).astype(jnp.float32)
+    x_dc = x_model[:, to_dc]
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(dc.logdensity_fn)(x_dc)),
+        np.asarray(jax.vmap(model.logdensity_fn)(x_model)),
+        rtol=2e-5,
+        atol=1e-3,
+    )
+    np.testing.assert_array_equal(x_dc[:, from_dc], x_model)
+
+
 def test_horseshoe_dc_rejects_unaligned_m():
     with pytest.raises(ValueError, match="multiple of 8"):
         make_finnish_horseshoe_target_dc(num_points=12, num_predictors=10)
@@ -115,7 +140,7 @@ def test_horseshoe_dc_permutation_matches_model_target(rng_key):
     np.testing.assert_array_equal(x_dc[:, from_dc], x_model)
 
 
-@pytest.mark.parametrize("which", ["logreg", "horseshoe"])
+@pytest.mark.parametrize("which", ["logreg", "horseshoe", "eight_schools"])
 def test_matmul_target_full_kernel_interpret(which, rng_key):
     """The whole NUTS machine runs on the matmul-class targets (interpret
     mode): budget completes, history finite, mean trajectory length agrees
@@ -130,6 +155,9 @@ def test_matmul_target_full_kernel_interpret(which, rng_key):
         ).astype(jnp.float32)
         target = make_logreg_target_dc(np.asarray(X), np.asarray(y))
         step_size, pos_scale = 0.3, 0.5
+    elif which == "eight_schools":
+        target = make_eight_schools_target_dc()
+        step_size, pos_scale = 0.2, 0.5
     else:
         target = make_finnish_horseshoe_target_dc(
             num_points=12, num_predictors=16
