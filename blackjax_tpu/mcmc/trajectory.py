@@ -199,11 +199,21 @@ def static_integration(integrator: Callable, direction: int = 1) -> Callable:
                 # overhead that dominates the classic-HMC regime (10-ish
                 # leapfrogs on small (C, d) blocks): tracked `hmc` config
                 # measured 44.6M vs 14.1M transitions/s on v5e (3.17x the
-                # reference, identical FLOPs by XLA cost analysis)
-                state = initial_state
-                for _ in range(int(num_integration_steps)):
-                    state = one_step(state)
-                return state
+                # reference, identical FLOPs by XLA cost analysis).
+                # scan-with-full-unroll rather than a Python loop: the body
+                # traces ONCE (a Python loop re-traces the logdensity per
+                # step — tests/test_compilation.py's bounded-trace contract)
+                # while lowering to the same loop-free straight-line HLO.
+                if num_integration_steps == 0:
+                    return initial_state
+                final, _ = jax.lax.scan(
+                    lambda state, _: (one_step(state), None),
+                    initial_state,
+                    None,
+                    length=int(num_integration_steps),
+                    unroll=True,
+                )
+                return final
             if unroll == 1:
                 return jax.lax.fori_loop(
                     0,
