@@ -367,10 +367,20 @@ def test_multi_chain_core_stays_diagonal_on_isotropic(rng_key):
     assert verdict.route == "diagonal"
 
 
-def test_multi_chain_core_mode_split_does_not_escalate(rng_key):
+def test_multi_chain_core_mode_split_does_not_escalate():
     """Chains parked at two separated modes look like a between-chain spike,
     but the unimodality gate must veto the escalation — a bimodal target
-    needs reparameterization/ensemble handling, not a low-rank metric."""
+    needs reparameterization/ensemble handling, not a low-rank metric.
+
+    FIXED key, deliberately: the T-branch's still-converging override
+    (reference ``blackjax/adaptation/meta/builders.py:682-695``, ours
+    ``meta/builders.py``) accepts an alpha=2.5%-per-window escape by
+    design (contraction t < -2.365), so over 3 windows a rotating daily
+    seed fails ~7-17% of days (measured 2/12 with tools/seed_sweep.py,
+    2026-08-19) without any regression. The scenario-class behavior under
+    a pinned stream is the stable contract; the alpha level itself is the
+    reference's calibration, not ours to tighten."""
+    rng_key = jax.random.key(20260111)
     d, M, n = 6, 8, 250
     v = jnp.ones(d) / jnp.sqrt(d)
     centers = jnp.where((jnp.arange(M) % 2 == 0)[:, None], 8.0 * v, -8.0 * v)
