@@ -100,17 +100,42 @@ def test_recipe_structural_contract(rng_key, name):
         assert np.asarray(imm.lam).min() > 0
 
 
+def test_dense_covariance_recipe_recovers_planted_spectrum(rng_key):
+    """The dense Welford recipe estimates Sigma itself: full spectral
+    recovery plus principal-direction alignment with the planted spike.
+
+    Threshold justified by a 100-seed sweep (tools/seed_sweep.py protocol):
+    max-over-eigenvalues relative error has p50=0.12, observed max=0.17, so
+    0.30 carries ~2x margin over the worst observed seed.
+    """
+    cov, scales, u, draws, grads = _planted(rng_key)
+    state = _drive("welford_dense", draws, grads)
+    dense = _dense_imm(state.inverse_mass_matrix)
+    assert _spectral_rel_error(dense, np.asarray(cov)) < 0.30
+    _assert_spike_aligned(dense, scales, u)
+
+
 @pytest.mark.parametrize(
-    "name",
-    ["welford_dense", "sample_cov_low_rank", "draws_svd_low_rank"],
+    "name", ["sample_cov_low_rank", "draws_svd_low_rank"]
 )
-def test_covariance_recipes_recover_planted_spectrum(rng_key, name):
-    """Draws-covariance recipes estimate Sigma itself: full spectral
-    recovery plus principal-direction alignment with the planted spike."""
+def test_low_rank_covariance_recipes_recover_spike_and_bulk(rng_key, name):
+    """Rank-truncating covariance recipes promise the spike (top eigenvalue
+    + direction) and the typical bulk scale — NOT every bulk eigenvalue:
+    the boundary eigenvalue between the retained subspace and the truncated
+    bulk is inherently noisy (a 100-seed sweep shows the max-over-eigenvalues
+    relative error is dominated by that boundary index, p50=0.39, max=0.76,
+    while the top eigenvalue sits at p50=0.043, max=0.18 and the median at
+    p50=0.086, max=0.14). Pin each statistic against its own sweep:
+    top<0.30, median<0.25, and a coarse 0.95 cap on the worst eigenvalue."""
     cov, scales, u, draws, grads = _planted(rng_key)
     state = _drive(name, draws, grads)
     dense = _dense_imm(state.inverse_mass_matrix)
-    assert _spectral_rel_error(dense, np.asarray(cov)) < 0.45
+    ev_got = np.linalg.eigvalsh(np.array(dense))
+    ev_want = np.linalg.eigvalsh(np.array(np.asarray(cov)))
+    rel = np.abs(ev_got - ev_want) / np.abs(ev_want)
+    assert rel[-1] < 0.30  # spike eigenvalue
+    assert np.median(rel) < 0.25  # typical bulk scale
+    assert rel.max() < 0.95  # boundary-eigenvalue sanity cap
     _assert_spike_aligned(dense, scales, u)
 
 
