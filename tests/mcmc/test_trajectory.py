@@ -41,8 +41,13 @@ def test_straight_line_matches_loop(rng_key, n_steps):
     )(state, jnp.asarray(n_steps))
     for a, b in zip(jax.tree.leaves(straight), jax.tree.leaves(looped)):
         a, b = np.asarray(a), np.asarray(b)
-        # <=1 ULP per step of accumulated fma-contraction drift
-        tol = n_steps * np.spacing(np.maximum(np.abs(a), np.abs(b)))
+        # <=1 ULP per step of accumulated fma-contraction drift. The ULP
+        # scale is the LEAF's max magnitude, not each element's own: a
+        # coordinate that lands near zero is computed from O(max|leaf|)
+        # intermediates, so its absolute drift is bounded by their
+        # spacing, not by spacing(~0) (seed 20260820 exposed this).
+        scale = max(np.max(np.abs(a)), np.max(np.abs(b)), 1e-12)
+        tol = n_steps * np.spacing(scale)
         err = np.abs(a - b)
         assert np.all(err <= tol), (
             f"straight-line vs loop drift {err.max()} exceeds "
