@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec
 
+from blackjax_tpu.parallel._program_cache import cached_jit
 from blackjax_tpu.diagnostics import splitR
 
 __all__ = [
@@ -187,8 +188,8 @@ def run_eca(
         all_chains_info=all_chains_info,
     )
 
-    def all_steps(initial_state, keys_sampling, keys_adaptation):
-        carry = (initial_state, adaptation.initial_state)
+    def all_steps(initial_state, adaptation_initial, keys_sampling, keys_adaptation):
+        carry = (initial_state, adaptation_initial)
         # keys_sampling: (chains_per_device, num_steps) -> scan over steps
         xs = (
             jnp.arange(num_steps),
@@ -206,11 +207,33 @@ def run_eca(
         return final_state, final_adaptation_state, info, counter
 
     p, replicated = PartitionSpec("chains"), PartitionSpec()
-    parallel_execute = jax.shard_map(
-        all_steps,
-        mesh=mesh,
-        in_specs=(p, p, replicated),
-        out_specs=(p, replicated, replicated, replicated),
+    # jit the shard_mapped program, memoized on the static config: un-jitted
+    # shard_map executes eagerly — one primitive dispatch per host->device
+    # crossing (measured 40x+ on the tunneled TPU for the SMC twin of this
+    # driver) — and a fresh jit object per call re-traces the whole loop.
+    # adaptation.initial_state rides as an ARGUMENT (not a closure capture)
+    # so a cache hit can never resurrect stale initial adaptation data.
+    parallel_execute = cached_jit(
+        (
+            "run_eca",
+            kernel,
+            adaptation.summary_statistics_fn,
+            adaptation.update,
+            getattr(adaptation, "while_cond", None) if early_stop else None,
+            num_steps,
+            num_chains,
+            mesh,
+            superchain_size,
+            all_chains_info,
+            early_stop,
+            jax.tree.structure(adaptation.initial_state),
+        ),
+        lambda: jax.shard_map(
+            all_steps,
+            mesh=mesh,
+            in_specs=(p, replicated, p, replicated),
+            out_specs=(p, replicated, replicated, replicated),
+        ),
     )
 
     key_sampling, key_adaptation = jax.random.split(rng_key)
@@ -221,7 +244,7 @@ def run_eca(
     )
 
     final_state, final_adaptation_state, info, counter = parallel_execute(
-        initial_state, keys_sampling, keys_adaptation
+        initial_state, adaptation.initial_state, keys_sampling, keys_adaptation
     )
     # with early_stop the tail of the buffer is unused — trim it on the host
     info = jax.tree.map(lambda a: a[: int(counter)], info)
@@ -259,8 +282,23 @@ def ensemble_execute_fn(
         return y, expectations
 
     args_specs = jax.tree.map(lambda _: replicated, args)
-    parallel_execute = jax.shard_map(
-        on_device, mesh=mesh, in_specs=(p, p, args_specs), out_specs=(p, replicated)
+    # jit + memoize for the same reason as run_eca: eager shard_map
+    # dispatches per-primitive; a per-call jit object re-traces every call
+    parallel_execute = cached_jit(
+        (
+            "ensemble_execute_fn",
+            func,
+            summary_statistics_fn,
+            num_chains,
+            mesh,
+            jax.tree.structure(args),
+        ),
+        lambda: jax.shard_map(
+            on_device,
+            mesh=mesh,
+            in_specs=(p, p, args_specs),
+            out_specs=(p, replicated),
+        ),
     )
 
     if superchain_size is None or superchain_size == 1:

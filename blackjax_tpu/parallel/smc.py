@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec
 
+from blackjax_tpu.parallel._program_cache import cached_jit
 from blackjax_tpu.smc import solver as smc_solver
 from blackjax_tpu.smc import tempered
 from blackjax_tpu.smc.base import SMCInfo, SMCState
@@ -696,15 +697,45 @@ def run_adaptive_tempered_smc(
     particles_ref = (
         initial_particles if initial_state is None else initial_state.particles
     )
-    sharded = jax.shard_map(
-        run,
-        mesh=mesh,
-        in_specs=(rep, p, p, rep, rep, param_specs),
-        out_specs=ShardedSMCResult(
-            jax.tree.map(lambda _: p, particles_ref), p, rep, rep, rep,
-            param_specs,
+
+    def build():
+        return jax.shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(rep, p, p, rep, rep, param_specs),
+            out_specs=ShardedSMCResult(
+                jax.tree.map(lambda _: p, particles_ref), p, rep, rep, rep,
+                param_specs,
+            ),
+            check_vma=False,  # replicated-ness of solver outputs is by construction
+        )
+
+    # jit the shard_mapped program, memoized on the static configuration: an
+    # UN-jitted shard_map executes eagerly, one primitive dispatch at a time
+    # — measured 9.4 s vs ~60 ms for the compiled whole-loop program on the
+    # tunneled TPU (the entire point of the device-resident driver is ONE
+    # host->device crossing) — and an un-memoized fresh jit object per call
+    # re-traces and re-compiles the loop on every invocation
+    sharded = cached_jit(
+        (
+            "run_adaptive_tempered_smc",
+            logprior_fn,
+            loglikelihood_fn,
+            mcmc_step_fn,
+            mcmc_init_fn,
+            num_mcmc_steps,
+            target_ess,
+            max_steps,
+            resampling_scheme,
+            axis_name,
+            waste_free_p,
+            mcmc_parameter_update_fn,
+            mesh,
+            jax.tree.structure(mcmc_parameters),
+            tuple(jax.tree.leaves(param_specs)),
+            jax.tree.structure(particles_ref),
         ),
-        check_vma=False,  # replicated-ness of solver outputs is by construction
+        build,
     )
     if initial_state is not None:
         # warm start (checkpoint resume): continue the tempering loop from a
