@@ -27,6 +27,10 @@ __all__ = [
     "progress_bar_factory",
 ]
 
+# serializes install/uninstall of the lax.scan patch across threads (the
+# patch itself is process-global, so bookkeeping must be too)
+_PATCH_LOCK = threading.Lock()
+
 
 class ProgressState:
     """Host-side mutable progress record.
@@ -156,13 +160,16 @@ def progress_bar(label: str = "blackjax_tpu", print_rate=None, output_file=None)
     an earlier ``from jax.lax import scan`` alias bypasses the patch; nested
     scans inside the instrumented body are untouched.
     """
-    original_scan = jax.lax.scan
     guard = threading.local()
     holder = {"state": None}
 
     def patched_scan(f, init, xs=None, length=None, **kwargs):
         import jax.numpy as jnp
 
+        # read the downstream scan through the attribute (not a closure):
+        # a non-LIFO exit of an overlapping context splices the chain by
+        # rewriting this attribute
+        original_scan = patched_scan.__bjt_original_scan__
         if getattr(guard, "depth", 0) > 0:
             return original_scan(f, init, xs, length=length, **kwargs)
         if length is not None:
@@ -203,11 +210,35 @@ def progress_bar(label: str = "blackjax_tpu", print_rate=None, output_file=None)
             guard.depth = 0
         return final, ys
 
-    jax.lax.scan = patched_scan
+    # install under a lock so two threads entering concurrently cannot
+    # capture each other's half-installed patch as their "original"
+    with _PATCH_LOCK:
+        patched_scan.__bjt_original_scan__ = jax.lax.scan
+        jax.lax.scan = patched_scan
     try:
         yield
     finally:
-        jax.lax.scan = original_scan
+        with _PATCH_LOCK:
+            cur = jax.lax.scan
+            if cur is patched_scan:
+                # LIFO exit (the common case): pop ourselves off the top
+                jax.lax.scan = patched_scan.__bjt_original_scan__
+            else:
+                # non-LIFO exit: we are somewhere inside a chain of
+                # patches (ours or a foreign wrapper installed after us).
+                # Splice ourselves out by relinking whichever node points
+                # at us; if no node does (a foreign patch replaced the
+                # whole chain), leave it untouched — restoring here would
+                # clobber the foreign patch.
+                node = cur
+                while node is not None:
+                    nxt = getattr(node, "__bjt_original_scan__", None)
+                    if nxt is patched_scan:
+                        node.__bjt_original_scan__ = (
+                            patched_scan.__bjt_original_scan__
+                        )
+                        break
+                    node = nxt
         jax.effects_barrier()
         if holder["state"] is not None:
             holder["state"].close()
