@@ -21,8 +21,14 @@ import pytest
 
 from blackjax_tpu import diagnostics as diag
 
+# exactness pins run in BOTH precision passes: bit-level determinism under
+# x64, a few ULP of f32 arithmetic under BJT_TEST_X64=0
+_X64 = jnp.zeros(()).dtype == jnp.dtype("float64")
+EXACT_RTOL = 1e-12 if _X64 else 5e-6
 
-def _ar1(key, rho, m, n, dtype=jnp.float64):
+
+def _ar1(key, rho, m, n):
+    dtype = jnp.zeros(()).dtype  # f64 under the x64 pass, f32 under BJT_TEST_X64=0
     """M independent AR(1) chains, stationary unit marginal variance."""
     innov_scale = np.sqrt(1.0 - rho**2)
     k0, k1 = jax.random.split(key)
@@ -62,9 +68,9 @@ class TestESSAnalytic:
         # the estimator caps at M*N*log10(M*N) — a perfectly antithetic
         # sequence cannot report unbounded ESS
         n = 512
-        t = jnp.arange(n, dtype=jnp.float64)
+        t = jnp.arange(n, dtype=jnp.zeros(()).dtype)
         x = jnp.stack([(-1.0) ** t, (-1.0) ** (t + 1)])
-        x = x + 1e-3 * jax.random.normal(rng_key, x.shape, jnp.float64)
+        x = x + 1e-3 * jax.random.normal(rng_key, x.shape)
         ess = float(diag.effective_sample_size(x))
         assert ess <= 2 * n * np.log10(2 * n) + 1e-6
 
@@ -72,7 +78,7 @@ class TestESSAnalytic:
         x = _ar1(rng_key, 0.5, 4, 1024)
         a = diag.effective_sample_size(x)
         b = diag.effective_sample_size(3.7 * x - 11.0)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=EXACT_RTOL)
 
     def test_single_chain_matches_multichain_split(self, rng_key):
         # one long chain vs the same draws split in two: between-chain
@@ -97,17 +103,17 @@ class TestRhatInvariance:
         )
 
     def test_bulk_monotone_invariance_exact(self, rng_key):
-        x = jax.random.normal(rng_key, (4, 500), jnp.float64)
+        x = jax.random.normal(rng_key, (4, 500))
         base = self._bulk_rhat(x)
         for f in (lambda v: jnp.exp(v), lambda v: v**3, lambda v: jnp.arctan(v)):
             np.testing.assert_allclose(
-                np.asarray(self._bulk_rhat(f(x))), np.asarray(base), rtol=1e-12
+                np.asarray(self._bulk_rhat(f(x))), np.asarray(base), rtol=EXACT_RTOL
             )
 
     def test_full_rhat_monotone_near_invariant(self, rng_key):
         # the folded component moves by O(rank perturbation at the median);
         # on stationary chains the public statistic stays within 1%
-        x = jax.random.normal(rng_key, (4, 500), jnp.float64)
+        x = jax.random.normal(rng_key, (4, 500))
         base = float(diag.rhat(x))
         for f in (lambda v: jnp.exp(v), lambda v: v**3):
             assert float(diag.rhat(f(x))) == pytest.approx(base, rel=1e-2)
@@ -116,10 +122,10 @@ class TestRhatInvariance:
         # a strictly decreasing map reverses ranks; Blom scores are
         # antisymmetric under rank reversal, so split-R-hat of the
         # rank-normalized draws is unchanged
-        x = jax.random.normal(rng_key, (4, 500), jnp.float64)
+        x = jax.random.normal(rng_key, (4, 500))
         base = self._bulk_rhat(x)
         np.testing.assert_allclose(
-            np.asarray(self._bulk_rhat(-jnp.exp(x))), np.asarray(base), rtol=1e-12
+            np.asarray(self._bulk_rhat(-jnp.exp(x))), np.asarray(base), rtol=EXACT_RTOL
         )
 
     def test_location_shift_detected_at_known_magnitude(self, rng_key):
@@ -129,8 +135,8 @@ class TestRhatInvariance:
         # below 1.05 (rank-normalization compresses but preserves order)
         k0, k1 = jax.random.split(rng_key)
         n = 1000
-        a = jax.random.normal(k0, (n,), jnp.float64)
-        b = jax.random.normal(k1, (n,), jnp.float64)
+        a = jax.random.normal(k0, (n,))
+        b = jax.random.normal(k1, (n,))
         mixed = jnp.stack([a, b])
         assert float(diag.rhat(mixed)) < 1.05
         assert float(diag.rhat(jnp.stack([a, b + 2.0]))) > 1.2
@@ -140,8 +146,8 @@ class TestRhatInvariance:
         # is blind to this; the folded/rank-normalized form is not
         k0, k1 = jax.random.split(rng_key)
         n = 1000
-        a = jax.random.normal(k0, (n,), jnp.float64)
-        b = 5.0 * jax.random.normal(k1, (n,), jnp.float64)
+        a = jax.random.normal(k0, (n,))
+        b = 5.0 * jax.random.normal(k1, (n,))
         assert float(diag.rhat(jnp.stack([a, b]))) > 1.1
 
 
@@ -152,9 +158,9 @@ class TestGPDRoundTrip:
         # jitter, fit, recover k within the estimator's prior-shrinkage
         # bias (Zhang-Stephens posterior mean shrinks toward 0.5/n scale)
         n = 4000
-        u = (jnp.arange(n, dtype=jnp.float64) + 0.5) / n
+        u = (jnp.arange(n, dtype=jnp.zeros(()).dtype) + 0.5) / n
         u = jnp.clip(
-            u + 1e-4 * jax.random.normal(rng_key, (n,), jnp.float64),
+            u + 1e-4 * jax.random.normal(rng_key, (n,)),
             1e-9,
             1.0 - 1e-9,
         )
@@ -164,10 +170,10 @@ class TestGPDRoundTrip:
         assert float(sigma_hat) == pytest.approx(1.0, rel=0.15)
 
     def test_gpinv_k_zero_is_exponential(self):
-        p = jnp.asarray([0.1, 0.5, 0.9], jnp.float64)
+        p = jnp.asarray([0.1, 0.5, 0.9])
         x = diag._gpinv(p, jnp.asarray(0.0), jnp.asarray(2.0))
         np.testing.assert_allclose(
-            np.asarray(x), -2.0 * np.log1p(-np.asarray(p)), rtol=1e-12
+            np.asarray(x), -2.0 * np.log1p(-np.asarray(p)), rtol=EXACT_RTOL
         )
 
     def test_gpinv_is_monotone_in_p(self):
@@ -179,18 +185,18 @@ class TestGPDRoundTrip:
 
 class TestParetoKhatRegimes:
     def test_gaussian_tail_is_light(self, rng_key):
-        x = jax.random.normal(rng_key, (20_000,), jnp.float64)
+        x = jax.random.normal(rng_key, (20_000,))
         assert float(diag.pareto_khat(x)) < 0.3
 
     @pytest.mark.parametrize("nu", [2.0, 4.0])
     def test_student_t_khat_near_one_over_nu(self, rng_key, nu):
-        x = jax.random.t(rng_key, nu, (40_000,), jnp.float64)
+        x = jax.random.t(rng_key, nu, (40_000,))
         k = float(diag.pareto_khat(x, tail="both"))
         assert k == pytest.approx(1.0 / nu, abs=0.12)
 
     def test_right_left_split(self, rng_key):
         # one-sided heavy tail: |t_2| has the heavy mass on the right only
-        x = jnp.abs(jax.random.t(rng_key, 2.0, (40_000,), jnp.float64))
+        x = jnp.abs(jax.random.t(rng_key, 2.0, (40_000,)))
         right = float(diag.pareto_khat(x, tail="right"))
         left = float(diag.pareto_khat(x, tail="left"))
         assert right > left + 0.2
@@ -198,12 +204,12 @@ class TestParetoKhatRegimes:
 
 class TestPSISContract:
     def test_smoothing_never_raises_the_max(self, rng_key):
-        lw = jax.random.t(rng_key, 3.0, (2000,), jnp.float64)
+        lw = jax.random.t(rng_key, 3.0, (2000,))
         out, _ = diag.psis_weights(lw)
         assert float(jnp.max(out)) <= float(jnp.max(lw)) + 1e-12
 
     def test_bulk_weights_untouched(self, rng_key):
-        lw = jax.random.normal(rng_key, (2000,), jnp.float64)
+        lw = jax.random.normal(rng_key, (2000,))
         out, _ = diag.psis_weights(lw)
         n = lw.shape[0]
         m = int(min(0.2 * n, 3.0 * n**0.5))
@@ -217,7 +223,7 @@ class TestPSISContract:
         # importance ratios for target t_2 under proposal N(0,1) have an
         # infinite-variance tail: k-hat must land in the "bad" regime
         k0 = rng_key
-        x = jax.random.normal(k0, (4000,), jnp.float64)
+        x = jax.random.normal(k0, (4000,))
         log_target = jax.scipy.stats.t.logpdf(x, 2.0)
         log_prop = jax.scipy.stats.norm.logpdf(x)
         _, khat = diag.psis_weights(log_target - log_prop)
@@ -226,18 +232,18 @@ class TestPSISContract:
     def test_good_proposal_khat_small(self, rng_key):
         # proposal == target: ratios are constant, the GPD tail is
         # degenerate and k-hat must not flag it
-        x = jax.random.normal(rng_key, (4000,), jnp.float64)
+        x = jax.random.normal(rng_key, (4000,))
         lw = 0.01 * jax.random.normal(jax.random.fold_in(rng_key, 1), x.shape)
         _, khat = diag.psis_weights(lw)
         assert float(khat) < 0.5
 
     def test_tiny_sample_returns_raw(self, rng_key):
-        lw = jax.random.normal(rng_key, (10,), jnp.float64)
+        lw = jax.random.normal(rng_key, (10,))
         out, khat = diag.psis_weights(lw)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(lw))
         assert not np.isfinite(float(khat)) or float(khat) > 1e6
 
     def test_shape_preserved(self, rng_key):
-        lw = jax.random.normal(rng_key, (40, 50), jnp.float64)
+        lw = jax.random.normal(rng_key, (40, 50))
         out, _ = diag.psis_weights(lw)
         assert out.shape == (40, 50)
