@@ -70,7 +70,12 @@ def _extract_lrd_from_samples(flat_positions, k: int):
     kappa_eff computation without a second SVD."""
     mean = jnp.mean(flat_positions, axis=0)
     sigma = jnp.std(flat_positions, axis=0)
-    sigma = jnp.where(sigma == 0.0, 1.0, sigma)
+    # a constant coordinate's std is float noise (~eps * |mean|), not exactly
+    # zero — standardizing by it would feed pure rounding noise into the SVD
+    # as an O(1) spurious direction; treat it as unit scale instead
+    eps = jnp.finfo(sigma.dtype).eps
+    degenerate = sigma <= 64.0 * eps * (jnp.abs(mean) + 1.0)
+    sigma = jnp.where(degenerate, 1.0, sigma)
 
     standardized = (flat_positions - mean[None, :]) / sigma[None, :]
     n = flat_positions.shape[0]
